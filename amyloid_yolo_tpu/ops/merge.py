@@ -1,0 +1,140 @@
+"""Overlap-aware union merging of same-class detections.
+
+Parity target: ``mergeDetections`` / ``combineIfOverlapping`` /
+``combineOverlappingBboxes`` (``/root/reference/core.py:277-423``).  The
+reference tests overlap by materializing *every pixel* of both boxes into
+Python sets (O(area) per pair!); the accept/reject decision is equivalent to
+closed-interval intersection of the integer pixel grids, which is what we
+compute:
+
+* a box ``(x, y, w, h)`` covers pixels ``x .. x+w-1`` × ``y .. y+h-1``;
+* two boxes overlap iff ``max(x1,x2) < min(x1+w1, x2+w2)`` and likewise in y
+  (touching edges do NOT overlap; zero-area boxes never overlap);
+* the merged box is the pixel-grid bounding union, which in the reference's
+  (x, y, w, h) output convention **loses one pixel** of width/height
+  (``furthest_right - furthest_left`` where ``furthest_right`` is the last
+  covered pixel index — ``core.py:349-364``).  We reproduce that quirk
+  exactly; box-for-box parity would otherwise drift by 1px per merge.
+
+Merged detections keep ``min(conf)`` / ``min(cls_conf)`` of the pair
+(``core.py:409``) and iteration continues to a fixed point because a merged
+box can newly overlap others.  The reference iterates a ``set`` of float
+tuples (hash order); we iterate in deterministic first-come order, which
+selects the same final fixed point in all non-pathological cases and makes
+results reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def combine_if_overlapping(
+    bbox1: Sequence[int], bbox2: Sequence[int]
+) -> Tuple[bool, Optional[Tuple[int, int, int, int]]]:
+    """Rectangle-math equivalent of ``combineIfOverlapping`` (``core.py:326-364``)."""
+    x1, y1, w1, h1 = bbox1
+    x2, y2, w2, h2 = bbox2
+    if w1 <= 0 or h1 <= 0 or w2 <= 0 or h2 <= 0:
+        return False, None
+    if max(x1, x2) >= min(x1 + w1, x2 + w2):
+        return False, None
+    if max(y1, y2) >= min(y1 + h1, y2 + h2):
+        return False, None
+    left = min(x1, x2)
+    top = min(y1, y2)
+    right = max(x1 + w1, x2 + w2) - 1  # last covered pixel index (reference quirk)
+    bottom = max(y1 + h1, y2 + h2) - 1
+    return True, (left, top, right - left, bottom - top)
+
+
+def merge_detections(detections: np.ndarray) -> np.ndarray:
+    """Union-merge overlapping same-class detections to a fixed point.
+
+    Parity: ``mergeDetections`` (``core.py:366-423``).  ``detections`` is
+    (N, 7) rows ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)`` in pixel
+    space; returns the merged (M, 7) array.  Boxes are truncated to int for
+    the overlap test and the merged output coordinates are integers, exactly
+    as the reference's ``int()`` casts produce.
+    """
+    entries: List[Tuple[float, ...]] = [tuple(map(float, row)) for row in np.asarray(detections)]
+    changed = True
+    while changed:
+        changed = False
+        removed = [False] * len(entries)
+        appended: List[Tuple[float, ...]] = []
+        for i in range(len(entries)):
+            if removed[i]:
+                continue
+            for j in range(i + 1, len(entries)):
+                if removed[i] or removed[j]:
+                    continue
+                ei, ej = entries[i], entries[j]
+                li, lj = ei[6], ej[6]
+                if not ((li == 1 == lj) or (li == 0 == lj)):
+                    continue
+                bi = (int(ei[0]), int(ei[1]), int(ei[2] - ei[0]), int(ei[3] - ei[1]))
+                bj = (int(ej[0]), int(ej[1]), int(ej[2] - ej[0]), int(ej[3] - ej[1]))
+                ok, nb = combine_if_overlapping(bi, bj)
+                if not ok:
+                    continue
+                new_entry = (
+                    float(nb[0]), float(nb[1]),
+                    float(nb[0] + nb[2]), float(nb[1] + nb[3]),
+                    min(ei[4], ej[4]), min(ei[5], ej[5]), li,
+                )
+                if new_entry in entries or new_entry in appended:
+                    continue  # reference skips duplicates (core.py:411)
+                removed[i] = removed[j] = True
+                appended.append(new_entry)
+                changed = True
+        entries = [e for k, e in enumerate(entries) if not removed[k]] + appended
+    if not entries:
+        return np.zeros((0, 7), np.float32)
+    return np.asarray(entries, np.float32)
+
+
+def combine_overlapping_bboxes(mapp: dict) -> dict:
+    """Label-space merge for annotation maps.
+
+    Parity: ``combineOverlappingBboxes`` (``core.py:277-324``) — values are
+    lists of ``((x, y, w, h), (cored, diffuse, CAA))`` tuples; boxes merge
+    when they overlap AND share a positive cored or CAA label.  Note the
+    reference computes the combined label as ``label_i or label_j``, which
+    for non-empty tuples is always ``label_i`` — the first box's label wins;
+    reproduced as-is.
+    """
+    out = {}
+    for img_name, pairs in mapp.items():
+        entries = [(tuple(int(v) for v in b), tuple(l)) for b, l in pairs]
+        changed = True
+        while changed:
+            changed = False
+            removed = [False] * len(entries)
+            appended: List[Tuple[tuple, tuple]] = []
+            for i in range(len(entries)):
+                if removed[i]:
+                    continue
+                for j in range(i + 1, len(entries)):
+                    if removed[i] or removed[j]:
+                        continue
+                    (bi, lab_i), (bj, lab_j) = entries[i], entries[j]
+                    if not ((lab_i[0] == 1 == lab_j[0]) or (lab_i[2] == 1 == lab_j[2])):
+                        continue
+                    ok, nb = combine_if_overlapping(bi, bj)
+                    if not ok:
+                        continue
+                    new_entry = (nb, lab_i or lab_j)
+                    if new_entry in entries or new_entry in appended:
+                        continue
+                    removed[i] = removed[j] = True
+                    appended.append(new_entry)
+                    changed = True
+            entries = [e for k, e in enumerate(entries) if not removed[k]] + appended
+        out[img_name] = entries
+    return out
+
+
+__all__ = ["combine_if_overlapping", "merge_detections", "combine_overlapping_bboxes"]

@@ -1,0 +1,157 @@
+"""Class-aware *merging* NMS, vectorized for TPU.
+
+The reference's ``non_max_suppression`` (``utils/utils.py:235-273``) is not
+plain suppression: the kept box's coordinates become the confidence-weighted
+average of every same-class box it suppresses.  Its Python ``while`` loop
+over a ragged tensor cannot run under ``jit``; here the same greedy
+algorithm runs as a fixed-capacity masked ``fori_loop``:
+
+1. confidence filter (``conf >= conf_thres``);
+2. score = obj_conf × max class prob, sort via ``top_k`` (descending, ties
+   by row index — torch ``argsort`` tie order is unspecified, so exact tie
+   behavior is not contractual);
+3. scan slots in score order; an active slot becomes a keeper, suppresses
+   all active same-class boxes with IoU > ``nms_thres`` (+1-pixel IoU
+   convention like the reference), and takes their conf-weighted mean box.
+
+Because suppression only ever deactivates *lower*-scored rows, scanning the
+sorted slots left→right visits exactly the reference's keep sequence, and
+the output rows ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)`` appear in the
+same order.  Outputs are padded to ``capacity`` with a validity mask —
+ragged→fixed-shape is the standard TPU trade so the whole
+model+decode+NMS pipeline stays in one compiled graph with zero host syncs.
+
+:func:`non_max_suppression_np` is the host-side mirror (used by tests and by
+host analysis paths that start from ragged numpy arrays).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxes import bbox_iou, bbox_iou_np, xywh2xyxy, xywh2xyxy_np
+
+
+@functools.partial(jax.jit, static_argnames=("conf_thres", "nms_thres", "capacity"))
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.5,
+    nms_thres: float = 0.4,
+    capacity: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched merging NMS.
+
+    Args:
+      prediction: (B, N, 5+C) decoded rows ``(cx, cy, w, h, conf, cls...)``.
+      capacity: max detections considered/returned per image (fixed shape).
+
+    Returns:
+      ``(dets, valid)`` with ``dets`` (B, capacity, 7) rows
+      ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)`` and ``valid``
+      (B, capacity) bool — rows are keepers in score order.
+    """
+    return jax.vmap(
+        lambda p: _nms_single(p, conf_thres, nms_thres, capacity)
+    )(prediction)
+
+
+def _nms_single(pred, conf_thres, nms_thres, capacity):
+    boxes = xywh2xyxy(pred[:, :4])
+    conf = pred[:, 4]
+    cls_probs = pred[:, 5:]
+    cls_conf = jnp.max(cls_probs, axis=-1)
+    cls_pred = jnp.argmax(cls_probs, axis=-1).astype(jnp.float32)
+
+    passed = conf >= conf_thres
+    score = jnp.where(passed, conf * cls_conf, -jnp.inf)
+    k = min(capacity, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+
+    det = jnp.concatenate(
+        [
+            boxes[top_idx],
+            conf[top_idx, None],
+            cls_conf[top_idx, None],
+            cls_pred[top_idx, None],
+        ],
+        axis=-1,
+    )  # (k, 7)
+    if k < capacity:
+        det = jnp.pad(det, ((0, capacity - k), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, capacity - k), constant_values=-jnp.inf)
+    active0 = top_scores > -jnp.inf
+    out0 = jnp.zeros_like(det)
+    keep0 = jnp.zeros((capacity,), jnp.bool_)
+
+    def body(i, carry):
+        active, out, keep = carry
+
+        def take(carry):
+            active, out, keep = carry
+            row = det[i]
+            ious = bbox_iou(row[None, :4], det[:, :4])
+            invalid = (ious > nms_thres) & (det[:, 6] == row[6]) & active
+            w = jnp.where(invalid, det[:, 4], 0.0)
+            wsum = jnp.sum(w)
+            merged = jnp.sum(w[:, None] * det[:, :4], axis=0) / wsum
+            new_row = jnp.concatenate([merged, row[4:]])
+            out = out.at[i].set(new_row)
+            keep = keep.at[i].set(True)
+            active = active & jnp.logical_not(invalid)
+            return active, out, keep
+
+        return jax.lax.cond(active[i], take, lambda c: c, (active, out, keep))
+
+    _, out, keep = jax.lax.fori_loop(0, capacity, body, (active0, out0, keep0))
+    return out, keep
+
+
+def non_max_suppression_np(
+    prediction: np.ndarray, conf_thres: float = 0.5, nms_thres: float = 0.4
+) -> List[Optional[np.ndarray]]:
+    """Host-side ragged mirror of the reference loop (``utils/utils.py:235-273``).
+
+    Returns a list (len B) of ``(n_i, 7)`` arrays or ``None`` — the
+    reference's exact output contract, for drop-in use by host pipelines.
+    """
+    prediction = np.array(prediction, copy=True)
+    prediction[..., :4] = xywh2xyxy_np(prediction[..., :4])
+    output: List[Optional[np.ndarray]] = [None] * len(prediction)
+    for i, image_pred in enumerate(prediction):
+        image_pred = image_pred[image_pred[:, 4] >= conf_thres]
+        if image_pred.shape[0] == 0:
+            continue
+        score = image_pred[:, 4] * image_pred[:, 5:].max(1)
+        image_pred = image_pred[(-score).argsort()]
+        cls_confs = image_pred[:, 5:].max(1, keepdims=True)
+        cls_preds = image_pred[:, 5:].argmax(1)[:, None].astype(image_pred.dtype)
+        detections = np.concatenate([image_pred[:, :5], cls_confs, cls_preds], 1)
+        keep = []
+        while detections.shape[0]:
+            ious = bbox_iou_np(detections[0:1, :4], detections[:, :4])
+            invalid = (ious > nms_thres) & (detections[0, -1] == detections[:, -1])
+            weights = detections[invalid, 4:5]
+            merged = detections[0].copy()
+            merged[:4] = (weights * detections[invalid, :4]).sum(0) / weights.sum()
+            keep.append(merged)
+            detections = detections[~invalid]
+        if keep:
+            output[i] = np.stack(keep)
+    return output
+
+
+def dense_to_ragged(dets: np.ndarray, valid: np.ndarray) -> List[Optional[np.ndarray]]:
+    """Convert the fixed-capacity device output to the reference's ragged list."""
+    out: List[Optional[np.ndarray]] = []
+    for d, v in zip(np.asarray(dets), np.asarray(valid)):
+        rows = d[v]
+        out.append(rows if rows.shape[0] else None)
+    return out
+
+
+__all__ = ["non_max_suppression", "non_max_suppression_np", "dense_to_ragged"]

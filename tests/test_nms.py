@@ -1,0 +1,120 @@
+"""Merging-NMS: device kernel vs host mirror vs a direct transcription of
+the reference algorithm in torch."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from amyloid_yolo_tpu.ops.nms import (
+    dense_to_ragged, non_max_suppression, non_max_suppression_np,
+)
+
+
+def reference_nms_torch(prediction, conf_thres, nms_thres):
+    """Direct re-derivation of utils/utils.py:235-273 semantics in torch,
+    used as the oracle (test-only code)."""
+    pred = torch.from_numpy(np.array(prediction, copy=True)).double()
+    xy = pred[..., :2].clone()
+    wh = pred[..., 2:4].clone()
+    pred[..., 0:2] = xy - wh / 2
+    pred[..., 2:4] = xy + wh / 2
+    out = [None] * len(pred)
+
+    def iou(a, b):
+        ix1 = torch.max(a[:, 0], b[:, 0])
+        iy1 = torch.max(a[:, 1], b[:, 1])
+        ix2 = torch.min(a[:, 2], b[:, 2])
+        iy2 = torch.min(a[:, 3], b[:, 3])
+        inter = (ix2 - ix1 + 1).clamp(0) * (iy2 - iy1 + 1).clamp(0)
+        a1 = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+        a2 = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+        return inter / (a1 + a2 - inter + 1e-16)
+
+    for i, image_pred in enumerate(pred):
+        image_pred = image_pred[image_pred[:, 4] >= conf_thres]
+        if not image_pred.size(0):
+            continue
+        score = image_pred[:, 4] * image_pred[:, 5:].max(1)[0]
+        image_pred = image_pred[(-score).argsort()]
+        class_confs, class_preds = image_pred[:, 5:].max(1, keepdim=True)
+        detections = torch.cat(
+            (image_pred[:, :5], class_confs.double(), class_preds.double()), 1)
+        keep = []
+        while detections.size(0):
+            overlap = iou(detections[0, :4].unsqueeze(0), detections[:, :4]) > nms_thres
+            match = detections[0, -1] == detections[:, -1]
+            invalid = overlap & match
+            weights = detections[invalid, 4:5]
+            detections[0, :4] = (weights * detections[invalid, :4]).sum(0) / weights.sum()
+            keep.append(detections[0].clone())
+            detections = detections[~invalid]
+        if keep:
+            out[i] = torch.stack(keep).numpy()
+    return out
+
+
+def random_preds(rng, b=3, n=60, c=2):
+    pred = np.zeros((b, n, 5 + c), np.float32)
+    pred[..., 0:2] = rng.rand(b, n, 2) * 400
+    pred[..., 2:4] = rng.rand(b, n, 2) * 80 + 4
+    pred[..., 4] = rng.rand(b, n)
+    pred[..., 5:] = rng.rand(b, n, c)
+    return pred
+
+
+def test_np_matches_reference(rng):
+    pred = random_preds(rng)
+    ours = non_max_suppression_np(pred, 0.5, 0.4)
+    ref = reference_nms_torch(pred, 0.5, 0.4)
+    for a, b in zip(ours, ref):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_device_matches_np(rng):
+    pred = random_preds(rng, b=4, n=80)
+    dets, valid = non_max_suppression(jnp.asarray(pred), 0.5, 0.4, capacity=96)
+    ragged = dense_to_ragged(dets, valid)
+    ref = non_max_suppression_np(pred, 0.5, 0.4)
+    for a, b in zip(ragged, ref):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_device_high_conf_operating_point(rng):
+    """The production operating point: conf 0.8 / nms 0.4 (README.md:39)."""
+    pred = random_preds(rng, b=2, n=200)
+    dets, valid = non_max_suppression(jnp.asarray(pred), 0.8, 0.4, capacity=64)
+    ragged = dense_to_ragged(dets, valid)
+    ref = non_max_suppression_np(pred, 0.8, 0.4)
+    for a, b in zip(ragged, ref):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_merge_weighted_average(rng):
+    """Two overlapping same-class boxes merge into a conf-weighted box."""
+    pred = np.zeros((1, 2, 7), np.float32)
+    pred[0, 0] = [100, 100, 40, 40, 0.9, 0.9, 0.1]
+    pred[0, 1] = [105, 105, 40, 40, 0.6, 0.8, 0.2]
+    ragged = non_max_suppression_np(pred, 0.5, 0.4)
+    assert ragged[0].shape[0] == 1
+    # merged coords = (0.9*boxA + 0.6*boxB)/1.5 in xyxy space
+    a = np.array([80, 80, 120, 120], np.float64)
+    b = np.array([85, 85, 125, 125], np.float64)
+    expect = (0.9 * a + 0.6 * b) / 1.5
+    np.testing.assert_allclose(ragged[0][0, :4], expect, atol=1e-4)
+    assert ragged[0][0, 4] == np.float32(0.9)
+
+
+def test_different_classes_not_merged():
+    pred = np.zeros((1, 2, 7), np.float32)
+    pred[0, 0] = [100, 100, 40, 40, 0.9, 0.1, 0.9]  # class 1
+    pred[0, 1] = [102, 102, 40, 40, 0.8, 0.9, 0.1]  # class 0
+    ragged = non_max_suppression_np(pred, 0.5, 0.4)
+    assert ragged[0].shape[0] == 2
