@@ -1,0 +1,221 @@
+"""Command-line entry points — the reference's six scripts as one CLI.
+
+``python -m amyloid_yolo_tpu.cli.main <command>`` with commands:
+
+* ``train``   — ``train.py`` (``/root/reference/train.py:27-210``)
+* ``test``    — ``test.py`` mAP evaluation (``test.py:69-115``)
+* ``detect``  — ``detect.py`` folder inference with merge / CAA-filter /
+  CAA-pickle flags (``detect.py:30-171``; boolean flags accept both real
+  booleans and the reference's ``"True"`` string convention)
+* ``crop``    — ``crop.py`` WSI tiling
+* ``clear``   — ``clear.py`` output reset
+* ``bench``   — the tiles/sec benchmark (speedCheck's modern form)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _truthy(v) -> bool:
+    """Accept bools and the reference's ``--flag True`` strings
+    (``detect.py:132``)."""
+    if isinstance(v, bool):
+        return v
+    return str(v) == "True" or str(v).lower() == "true" or str(v) == "1"
+
+
+def cmd_train(args) -> int:
+    from ..training import Trainer, TrainConfig
+
+    cfg = TrainConfig(
+        data_config=args.data_config,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        gradient_accumulations=args.gradient_accumulations,
+        img_size=args.img_size,
+        multiscale=_truthy(args.multiscale_training),
+        pretrained_weights=args.pretrained_weights,
+        checkpoint_interval=args.checkpoint_interval,
+        evaluation_interval=args.evaluation_interval,
+        logdir=args.logdir,
+        verbose=args.verbose,
+        data_parallel=args.data_parallel,
+    )
+    Trainer(cfg).train()
+    return 0
+
+
+def cmd_test(args) -> int:
+    from ..evaluate import evaluate
+    from ..graphspec import yolov3_spec
+    from ..io import weights as W
+    from ..parsecfg import load_classes, parse_data_config
+
+    spec = yolov3_spec(num_classes=2)
+    data = parse_data_config(args.data_config)
+    params = W.load_pretrained(spec, args.weights_path)
+    out = evaluate(spec, params, data["valid"], iou_thres=args.iou_thres,
+                   conf_thres=args.conf_thres, nms_thres=args.nms_thres,
+                   img_size=args.img_size, batch_size=args.batch_size)
+    if out is None:
+        print("no detections")
+        return 1
+    precision, recall, ap, f1, ap_class = out
+    class_names = load_classes(data["names"]) if os.path.exists(data["names"]) else None
+    print("Average Precisions:")
+    for i, c in enumerate(ap_class):
+        name = class_names[int(c)] if class_names else str(c)
+        print(f"+ Class '{c}' ({name}) - AP: {ap[i]}")
+    print(f"mAP: {ap.mean()}")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    from ..detectors import Detector
+    from ..domain import CAAFilter, clear_output_dir, draw_detections, write_caa_detections
+    from ..graphspec import yolov3_spec
+    from ..io import weights as W
+    from ..io.datasets import load_image_rgb
+    from ..parsecfg import load_classes
+
+    spec = yolov3_spec(num_classes=2)
+    params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
+    classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
+        else ["CAA", "Cored"]
+    det = Detector(spec, params, conf_thres=args.conf_thres, nms_thres=args.nms_thres,
+                   model_size=args.img_size)
+    caa_filter = None
+    if _truthy(args.filter_CAA_detections_by_model):
+        caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
+                               normalization=args.caa_normalization, classes=classes)
+    clear_output_dir(args.output_dir)
+    if _truthy(args.write_CAA_detections_to_pickle):
+        import pickle
+
+        os.makedirs("pickles", exist_ok=True)
+        with open("pickles/CAA_detections.pkl", "wb") as fh:
+            pickle.dump({}, fh)
+    results = det.detect_folder(
+        args.image_folder, batch_size=args.batch_size,
+        merge_boxes=_truthy(args.merge_boxes),
+        caa_filter=(caa_filter.filter_path if caa_filter else None),
+    )
+    from PIL import Image
+
+    for path, dets in results.items():
+        if dets is None:
+            continue
+        if _truthy(args.write_CAA_detections_to_pickle):
+            write_caa_detections("pickles/CAA_detections.pkl", path, dets, classes)
+        img = load_image_rgb(path)
+        out = draw_detections(img, dets, classes)
+        out_name = path.replace("/", "_")
+        Image.fromarray(out).save(os.path.join(args.output_dir, out_name))
+        for row in dets:
+            print("\t+ Label: %s, Conf: %.5f" % (classes[int(row[6])], row[5]))
+    return 0
+
+
+def cmd_crop(args) -> int:
+    from ..io import tiles
+
+    failed = tiles.crop_wsis(args.wsi_dirs, args.save_dir,
+                             temp_map_pickle=args.temp_map_pickle)
+    if failed:
+        print("failed to tile: {}".format(failed))
+    tiles.merge_1536_subdirectories(args.save_dir)
+    if args.temp_map_pickle and os.path.exists(args.temp_map_pickle):
+        tiles.rename_temp_directories(args.save_dir, args.temp_map_pickle)
+    return 0
+
+
+def cmd_clear(args) -> int:
+    from ..domain import clear_output_dir
+
+    clear_output_dir(args.output_dir)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "../../bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="amyolo")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--batch_size", type=int, default=8)
+    t.add_argument("--gradient_accumulations", type=int, default=2)
+    t.add_argument("--data_config", type=str, default="config/custom.data")
+    t.add_argument("--pretrained_weights", type=str)
+    t.add_argument("--img_size", type=int, default=416)
+    t.add_argument("--checkpoint_interval", type=int, default=1)
+    t.add_argument("--evaluation_interval", type=int, default=1)
+    t.add_argument("--multiscale_training", default=True)
+    t.add_argument("--verbose", "-v", default=False, action="store_true")
+    t.add_argument("--logdir", type=str, default="logs")
+    t.add_argument("--data_parallel", type=int, default=None)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("test")
+    e.add_argument("--batch_size", type=int, default=8)
+    e.add_argument("--data_config", type=str, default="config/custom.data")
+    e.add_argument("--weights_path", type=str, required=True)
+    e.add_argument("--iou_thres", type=float, default=0.5)
+    e.add_argument("--conf_thres", type=float, default=0.5)
+    e.add_argument("--nms_thres", type=float, default=0.5)
+    e.add_argument("--img_size", type=int, default=416)
+    e.set_defaults(fn=cmd_test)
+
+    d = sub.add_parser("detect")
+    d.add_argument("--image_folder", type=str, default="data/samples")
+    d.add_argument("--weights_path", type=str)
+    d.add_argument("--class_path", type=str, default="data/custom/classes.names")
+    d.add_argument("--conf_thres", type=float, default=0.8)
+    d.add_argument("--nms_thres", type=float, default=0.4)
+    d.add_argument("--batch_size", type=int, default=8)
+    d.add_argument("--img_size", type=int, default=416)
+    d.add_argument("--output_dir", type=str, default="output")
+    d.add_argument("--merge_boxes", type=str, default="False")
+    d.add_argument("--write_CAA_detections_to_pickle", type=str, default="False")
+    d.add_argument("--filter_CAA_detections_by_model", type=str, default="False")
+    d.add_argument("--caa_model_pickle", type=str,
+                   default="pickles/model_all_fold_3_thresholding_2_l2.pkl")
+    d.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
+    d.set_defaults(fn=cmd_detect)
+
+    c = sub.add_parser("crop")
+    c.add_argument("--wsi_dirs", nargs="+", required=True)
+    c.add_argument("--save_dir", type=str, default="data/CERAD/1536_tiles/")
+    c.add_argument("--temp_map_pickle", type=str, default="pickles/temporary_WSI_map.pkl")
+    c.set_defaults(fn=cmd_crop)
+
+    cl = sub.add_parser("clear")
+    cl.add_argument("--output_dir", type=str, default="output/")
+    cl.set_defaults(fn=cmd_clear)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

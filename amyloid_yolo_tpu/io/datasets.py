@@ -1,0 +1,338 @@
+"""Host-side datasets: folder inference streams and YOLO-txt training lists.
+
+Functional parity with ``utils/datasets.py``:
+
+* :class:`ImageFolder` — sorted glob over a folder, RGB uint8 tiles
+  (``utils/datasets.py:40-62``);
+* :class:`ListDataset` — image list file + ``images→labels`` / ``.jpg→.txt``
+  label-path derivation, YOLO-format normalized ``(cls cx cy w h)`` labels,
+  corrupt-sample dropping, and the multiscale schedule (a new model input
+  size from ``[img_size−96, img_size+96]`` step 32 every 10 batches —
+  ``utils/datasets.py:123-143``).
+
+TPU-first differences: images stay **uint8 at tile resolution** on the host;
+letterbox/resize/normalize/augmentation happen on device inside the jitted
+step (see :mod:`amyloid_yolo_tpu.ops.preprocess` / ``ops.augment``), so the
+host does no per-pixel float work and batches ship as uint8.  Ragged labels
+are padded to a fixed per-batch capacity with a validity mask instead of the
+reference's ragged concatenated tensor.  A background prefetch thread
+overlaps JPEG decode with device compute (the reference used DataLoader
+worker processes).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import random
+import threading
+import warnings
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.preprocess import pad_amounts
+
+try:  # PIL is the baseline decoder; the C++ runtime (io.native) is preferred
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode one image to HWC uint8 RGB."""
+    if not _HAVE_PIL:  # pragma: no cover
+        raise RuntimeError("PIL unavailable and no native decoder built")
+    return np.array(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def pad_to_square_np(img: np.ndarray, pad_value: int = 0) -> Tuple[np.ndarray, Tuple[int, int, int, int]]:
+    """Host uint8 center pad; returns (img, (left, right, top, bottom))."""
+    h, w = img.shape[:2]
+    l, r, t, b = pad_amounts(h, w)
+    if l or r or t or b:
+        img = np.pad(img, ((t, b), (l, r), (0, 0)), constant_values=pad_value)
+    return img, (l, r, t, b)
+
+
+class ImageFolder:
+    """Sorted folder of images, yielded as fixed-size uint8 batches.
+
+    ``iter_batches`` pads the last batch by repeating its final image (the
+    per-row validity count is returned) so every device step sees one static
+    shape — no recompiles, no ragged tails.
+    """
+
+    def __init__(self, folder_path: str, tile_size: Optional[int] = None,
+                 resize_to: Optional[int] = None):
+        self.files: List[str] = sorted(glob.glob(os.path.join(folder_path, "*.*")))
+        self.tile_size = tile_size
+        # host-side nearest downsample (identical gather to the device
+        # resize) — shrinks host→device transfer ~13x for 1536→416; applied
+        # in the prefetch thread so it overlaps device compute
+        self.resize_to = resize_to
+        self._ridx = None
+        if resize_to is not None and tile_size is not None:
+            from ..ops.preprocess import nearest_indices
+
+            self._ridx = nearest_indices(resize_to, tile_size)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> Tuple[str, np.ndarray]:
+        path = self.files[index % len(self.files)]
+        img = load_image_rgb(path)
+        img, _ = pad_to_square_np(img)
+        if self.tile_size is not None and img.shape[0] != self.tile_size:
+            # tiles smaller than the nominal size (WSI borders) are zero-
+            # padded bottom/right so batches stack
+            out = np.zeros((self.tile_size, self.tile_size, 3), np.uint8)
+            h = min(img.shape[0], self.tile_size)
+            w = min(img.shape[1], self.tile_size)
+            out[:h, :w] = img[:h, :w]
+            img = out
+        if self._ridx is not None:
+            img = np.ascontiguousarray(img[self._ridx][:, self._ridx])
+        return path, img
+
+    def iter_batches(
+        self, batch_size: int, prefetch: int = 2
+    ) -> Iterator[Tuple[List[str], np.ndarray, int]]:
+        """Yield (paths, uint8 batch NHWC, n_valid)."""
+
+        native_pool = self._native_pool()
+        if native_pool is not None:
+            yield from self._iter_batches_native(native_pool, batch_size, prefetch)
+            return
+
+        def load_valid(i: int):
+            """Corrupt/unreadable files are skipped with a warning (the
+            drop-and-continue semantics of the reference's collate_fn,
+            utils/datasets.py:127, extended to the inference path)."""
+            try:
+                return self[i]
+            except Exception as e:
+                print(f"Could not read image '{self.files[i % len(self.files)]}': {e}")
+                return None
+
+        def produce(q: "queue.Queue"):
+            try:
+                pending = []
+                for i in range(len(self.files)):
+                    item = load_valid(i)
+                    if item is None:
+                        continue
+                    pending.append(item)
+                    if len(pending) == batch_size:
+                        q.put(self._pack(pending, batch_size))
+                        pending = []
+                if pending:
+                    q.put(self._pack(pending, batch_size))
+            except BaseException as e:  # propagate to consumer, don't die silently
+                q.put(e)
+            q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def _native_pool(self):
+        """Use the C++ decode pool when the folder is all-JPEG and a fixed
+        tile size is declared (the WSI sweep case)."""
+        if self.tile_size is None or not self.files:
+            return None
+        if not all(f.lower().endswith((".jpg", ".jpeg")) for f in self.files):
+            return None
+        try:
+            from .native import TilePool, available
+
+            if not available():
+                return None
+            return TilePool()
+        except Exception:
+            return None
+
+    def _iter_batches_native(self, pool, batch_size: int, prefetch: int):
+        resize = self.resize_to or 0
+
+        def produce(q: "queue.Queue"):
+            try:
+                pending_paths: List[str] = list(self.files)
+                start = 0
+                while start < len(pending_paths):
+                    chunk = pending_paths[start:start + batch_size]
+                    start += batch_size
+                    batch, ok = pool.decode_batch(chunk, self.tile_size, resize)
+                    good = [(p, batch[i]) for i, p in enumerate(chunk) if ok[i]]
+                    for i, p in enumerate(chunk):
+                        if not ok[i]:
+                            print(f"Could not read image '{p}' (native decoder).")
+                    if good:
+                        q.put(self._pack(good, batch_size))
+            except BaseException as e:
+                q.put(e)
+            q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            pool.close()
+
+    @staticmethod
+    def _pack(items, batch_size: int):
+        n_valid = len(items)
+        while len(items) < batch_size:
+            items = items + [items[-1]]
+        paths = [p for p, _ in items]
+        batch = np.stack([im for _, im in items])
+        return paths, batch, n_valid
+
+
+class ListDataset:
+    """Training dataset over a ``train.txt``-style list with YOLO labels."""
+
+    def __init__(
+        self,
+        list_path: str,
+        img_size: int = 416,
+        multiscale: bool = True,
+        max_objects: int = 100,
+        augment: bool = True,
+        seed: int = 0,
+    ):
+        with open(list_path, "r") as fh:
+            self.img_files = [ln.rstrip() for ln in fh.readlines() if ln.strip()]
+        self.label_files = [
+            p.replace("images", "labels").replace(".png", ".txt").replace(".jpg", ".txt")
+            for p in self.img_files
+        ]
+        self.img_size = img_size
+        self.max_objects = max_objects
+        self.multiscale = multiscale
+        self.min_size = img_size - 3 * 32
+        self.max_size = img_size + 3 * 32
+        self.augment = augment
+        self.batch_count = 0
+        self._rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.img_files)
+
+    def __getitem__(self, index: int):
+        """Returns (path, square uint8 HWC image, (n,5) normalized labels)
+        or None on any read/parse failure (dropped at collate — parity with
+        ``utils/datasets.py:88-127``)."""
+        img_path = self.img_files[index % len(self.img_files)]
+        try:
+            img = load_image_rgb(img_path)
+        except Exception:
+            print(f"Could not read image '{img_path}'.")
+            return None
+        label_path = self.label_files[index % len(self.img_files)]
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                boxes = np.loadtxt(label_path).reshape(-1, 5).astype(np.float32)
+        except Exception:
+            print(f"Could not read label '{label_path}'.")
+            return None
+        h, w = img.shape[:2]
+        # absolute coords -> pad -> renormalize (transforms.py:56-86 chain)
+        boxes = boxes.copy()
+        boxes[:, 1] *= w
+        boxes[:, 3] *= w
+        boxes[:, 2] *= h
+        boxes[:, 4] *= h
+        img, (pl, pr, pt, pb) = pad_to_square_np(img)
+        side = img.shape[0]
+        boxes[:, 1] = (boxes[:, 1] + pl) / side
+        boxes[:, 2] = (boxes[:, 2] + pt) / side
+        boxes[:, 3] = boxes[:, 3] / side
+        boxes[:, 4] = boxes[:, 4] / side
+        return img_path, img, boxes
+
+    def next_size(self) -> int:
+        """Multiscale schedule: new size every 10th batch (``:132-133``)."""
+        self.batch_count += 1
+        if self.multiscale and self.batch_count % 10 == 0:
+            self.img_size = self._rng.choice(
+                range(self.min_size, self.max_size + 1, 32)
+            )
+        return self.img_size
+
+    def collate(self, samples: Sequence) -> Optional[dict]:
+        """Stack valid samples; pad labels to a fixed (B*max_objects) block.
+
+        Targets are rows (batch_idx, cls, cx, cy, w, h) + validity mask —
+        the fixed-shape encoding of the reference's concatenated tensor.
+        """
+        samples = [s for s in samples if s is not None]
+        if not samples:
+            return None
+        paths, imgs, boxes_list = zip(*samples)
+        batch = np.stack(imgs)
+        bsz = len(samples)
+        cap = self.max_objects
+        targets = np.zeros((bsz * cap, 6), np.float32)
+        mask = np.zeros((bsz * cap,), bool)
+        for bi, bx in enumerate(boxes_list):
+            n = min(len(bx), cap)
+            rows = slice(bi * cap, bi * cap + n)
+            targets[rows, 0] = bi
+            targets[rows, 1:] = bx[:n]
+            mask[bi * cap:bi * cap + n] = True
+        return {
+            "paths": list(paths),
+            "images": batch,
+            "targets": targets,
+            "target_mask": mask,
+            "img_size": self.next_size(),
+        }
+
+    def iter_epoch(self, batch_size: int, shuffle: bool = True, prefetch: int = 2):
+        order = list(range(len(self)))
+        if shuffle:
+            self._rng.shuffle(order)
+
+        def produce(q: "queue.Queue"):
+            try:
+                for start in range(0, len(order), batch_size):
+                    idxs = order[start:start + batch_size]
+                    batch = self.collate([self[i] for i in idxs])
+                    if batch is not None:
+                        q.put(batch)
+            finally:
+                q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+__all__ = ["ImageFolder", "ListDataset", "load_image_rgb", "pad_to_square_np"]

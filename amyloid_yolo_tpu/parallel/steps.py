@@ -1,0 +1,208 @@
+"""Jitted train/eval steps, single-chip and data-parallel.
+
+Replaces the reference train loop's per-batch torch autograd + host metric
+syncs (``train.py:104-156``, ``models.py:171-222``) with one compiled step:
+
+    uint8 batch → device resize/normalize → augment → forward(train BN) →
+    YOLO loss → grad → Adam update → new params/stats/metrics
+
+Data parallelism (new capability — the reference is single-device) comes
+from running the SAME step over a ``Mesh`` with the batch sharded on ``dp``
+and params replicated: the loss is a global-batch mean, so XLA inserts the
+gradient all-reduce over ICI.  Because the program semantics are global,
+BatchNorm batch statistics are computed over the *global* batch — i.e. DP
+training here is numerically the reference's single-device semantics at the
+global batch size (sync-BN), not per-replica BN; tests assert DP ≡
+single-device bit-for-bit-ish (f32 tolerances).
+
+Gradient accumulation (``train.py:116-119``: optimizer step every N batches
+on summed gradients) is provided for parity/experiments via
+``make_accum_train_step`` — summed, not averaged, exactly like consecutive
+``loss.backward()`` calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graphspec import GraphSpec
+from ..models import darknet
+from ..ops.augment import augment_batch
+from ..ops.loss import yolo_loss
+from ..ops.preprocess import resize_nearest
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any          # full param tree (conv w/b + bn scale/bias/mean/var)
+    opt_state: Any
+    step: jnp.ndarray
+    seen: jnp.ndarray    # images seen (reference Darknet.seen)
+
+
+TRAINABLE_BN_KEYS = ("scale", "bias")
+
+
+def _split(params):
+    """Partition the param tree into (trainable, bn running stats)."""
+    train, stats = {}, {}
+    for k, entry in params.items():
+        if k.startswith("bn_"):
+            train[k] = {kk: entry[kk] for kk in TRAINABLE_BN_KEYS}
+            stats[k] = {"mean": entry["mean"], "var": entry["var"]}
+        else:
+            train[k] = dict(entry)
+    return train, stats
+
+
+def _merge(train, stats):
+    out = {}
+    for k, entry in train.items():
+        if k.startswith("bn_"):
+            out[k] = {**entry, **stats[k]}
+        else:
+            out[k] = dict(entry)
+    return out
+
+
+def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (``train.py:81``): lr 1e-3, betas (0.9,
+    0.999), eps 1e-8."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    train, _ = _split(params)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(train),
+        step=jnp.zeros((), jnp.int32),
+        seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    spec: GraphSpec,
+    optimizer: optax.GradientTransformation,
+    *,
+    augment: bool = True,
+    compute_dtype=jnp.float32,
+):
+    """Build the jitted train step.
+
+    Signature: ``step(state, images_u8 (B,S0,S0,3), targets (T,6),
+    target_mask (T,), rng, img_size) -> (state, metrics)``; ``img_size`` is
+    static (the multiscale schedule compiles one program per size, 7 total).
+    """
+
+    def loss_fn(train_params, stats, images, targets, target_mask, img_size):
+        params = _merge(train_params, stats)
+        maps, new_stats = darknet.apply(
+            params, spec, images, train=True, compute_dtype=compute_dtype
+        )
+        total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
+        return total, (new_stats, per_head)
+
+    @functools.partial(jax.jit, static_argnames=("img_size",), donate_argnums=(0,))
+    def step(state: TrainState, images_u8, targets, target_mask, rng, img_size: int):
+        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if augment:
+            images, targets, target_mask = augment_batch(
+                rng, images, targets, target_mask
+            )
+        train_params, stats = _split(state.params)
+        (total, (new_stats, per_head)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(train_params, stats, images, targets, target_mask, img_size)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, train_params)
+        new_train = optax.apply_updates(train_params, updates)
+        merged = _merge(new_train, stats)
+        for k, s in new_stats.items():  # BN running-stat update
+            merged[k]["mean"] = s["mean"]
+            merged[k]["var"] = s["var"]
+
+        metrics = {"loss": total}
+        for hi, m in enumerate(per_head):
+            for name, v in m.items():
+                metrics[f"head{hi}/{name}"] = v
+        new_state = TrainState(
+            params=merged,
+            opt_state=new_opt,
+            step=state.step + 1,
+            seen=state.seen + images_u8.shape[0],
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_grad_step(spec: GraphSpec, *, augment: bool = False,
+                   compute_dtype=jnp.float32):
+    """Gradient-only step (no optimizer) — used by the grad-accumulation
+    trainer and by the DP≡accumulation equivalence tests."""
+
+    def loss_fn(train_params, stats, images, targets, target_mask, img_size):
+        params = _merge(train_params, stats)
+        maps, new_stats = darknet.apply(
+            params, spec, images, train=True, compute_dtype=compute_dtype
+        )
+        total, _ = yolo_loss(maps, spec, img_size, targets, target_mask)
+        return total, new_stats
+
+    @functools.partial(jax.jit, static_argnames=("img_size",))
+    def grad_step(params, images_u8, targets, target_mask, img_size: int, rng=None):
+        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if augment:
+            images, targets, target_mask = augment_batch(rng, images, targets, target_mask)
+        train_params, stats = _split(params)
+        (total, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            train_params, stats, images, targets, target_mask, img_size
+        )
+        return total, grads, new_stats
+
+    return grad_step
+
+
+def make_eval_forward(spec: GraphSpec, *, compute_dtype=jnp.float32):
+    """Eval forward returning decoded predictions (B, N, 5+C)."""
+    from ..models import heads
+
+    @functools.partial(jax.jit, static_argnames=("img_size",))
+    def fwd(params, images_u8, img_size: int):
+        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        maps, _ = darknet.apply(params, spec, images, compute_dtype=compute_dtype)
+        return heads.decode_all(maps, spec, img_size)
+
+    return fwd
+
+
+def shard_train_step(step_fn, mesh):
+    """Wrap a train step so batch/target inputs land sharded on dp and the
+    state stays replicated.  jit + NamedSharding: XLA derives the psum."""
+    from .mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def sharded(state, images_u8, targets, target_mask, rng, img_size):
+        images_u8 = jax.device_put(images_u8, bs)
+        targets = jax.device_put(targets, bs)
+        target_mask = jax.device_put(target_mask, bs)
+        state = jax.device_put(state, rep)
+        return step_fn(state, images_u8, targets, target_mask, rng, img_size)
+
+    return sharded
+
+
+__all__ = [
+    "TrainState", "make_optimizer", "init_train_state", "make_train_step",
+    "make_grad_step", "make_eval_forward", "shard_train_step",
+]

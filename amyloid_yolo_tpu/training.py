@@ -1,0 +1,171 @@
+"""Training driver — the reference's ``train.py`` loop, TPU-native.
+
+Behavioral parity (``/root/reference/train.py:27-210``):
+
+* Adam at torch defaults, gradient accumulation every N batches (summed
+  grads), multiscale resize every 10 batches, per-epoch evaluation at
+  iou/conf/nms 0.5, per-epoch checkpointing, best-mAP tracking per class
+  (Cored/CAA) — "dan's edit" at ``train.py:187-197``;
+* ``seen`` image counting for darknet-format weight export.
+
+TPU-native differences: one jitted step (resize+augment+loss+Adam fused,
+no per-batch host sync); optional data parallelism over a mesh instead of
+gradient accumulation (numerically equivalent — see tests/test_parallel);
+orbax checkpoints carrying optimizer state (the reference drops it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .evaluate import evaluate
+from .graphspec import GraphSpec, yolov3_spec
+from .io import weights as weights_io
+from .io.datasets import ListDataset
+from .models import darknet
+from .parsecfg import load_classes, parse_data_config
+from .parallel import steps as steps_mod
+from .parallel.mesh import make_mesh
+from .utils.logging import MetricsLogger
+
+
+@dataclass
+class TrainConfig:
+    data_config: str = "config/custom.data"
+    epochs: int = 100
+    batch_size: int = 8
+    gradient_accumulations: int = 2
+    img_size: int = 416
+    multiscale: bool = True
+    augment: bool = True
+    pretrained_weights: Optional[str] = None
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_interval: int = 1
+    evaluation_interval: int = 1
+    learning_rate: float = 1e-3
+    num_classes: int = 2
+    logdir: str = "logs"
+    seed: int = 0
+    data_parallel: Optional[int] = None   # devices in the dp mesh (None = 1)
+    verbose: bool = False
+    max_batches_per_epoch: Optional[int] = None  # for smoke runs
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, spec: Optional[GraphSpec] = None):
+        self.cfg = cfg
+        self.spec = spec or yolov3_spec(num_classes=cfg.num_classes)
+        data = parse_data_config(cfg.data_config)
+        self.train_path = data["train"]
+        self.valid_path = data["valid"]
+        self.class_names = load_classes(data["names"]) if os.path.exists(data["names"]) \
+            else [f"class{i}" for i in range(cfg.num_classes)]
+
+        params = darknet.init_params(jax.random.PRNGKey(cfg.seed), self.spec)
+        if cfg.pretrained_weights:
+            params = weights_io.load_pretrained(self.spec, cfg.pretrained_weights, params)
+        self.optimizer = steps_mod.make_optimizer(cfg.learning_rate)
+        self.state = steps_mod.init_train_state(params, self.optimizer)
+        self.step_fn = steps_mod.make_train_step(
+            self.spec, self.optimizer, augment=cfg.augment
+        )
+        if cfg.data_parallel and cfg.data_parallel > 1:
+            mesh = make_mesh(cfg.data_parallel)
+            self.step_fn = steps_mod.shard_train_step(self.step_fn, mesh)
+        self.logger = MetricsLogger(cfg.logdir)
+        self.best = {"map": (-1.0, -1), "Cored": (-1.0, -1), "CAA": (-1.0, -1)}
+
+    def train(self):
+        cfg = self.cfg
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        dataset = ListDataset(
+            self.train_path, img_size=cfg.img_size, multiscale=cfg.multiscale,
+            augment=cfg.augment, seed=cfg.seed,
+        )
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            for bi, batch in enumerate(dataset.iter_epoch(cfg.batch_size)):
+                if cfg.max_batches_per_epoch and bi >= cfg.max_batches_per_epoch:
+                    break
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self.step_fn(
+                    self.state,
+                    jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["targets"]),
+                    jnp.asarray(batch["target_mask"]),
+                    sub,
+                    int(batch["img_size"]),
+                )
+                if bi % 10 == 0:  # fetch metrics only when logging (no per-step sync)
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["epoch"] = epoch
+                    host["batch"] = bi
+                    self.logger.log(host, step=int(self.state.step))
+                    if cfg.verbose:
+                        print(f"[epoch {epoch} batch {bi}] loss={host['loss']:.4f}")
+            epoch_time = time.time() - t0
+
+            if epoch % cfg.evaluation_interval == 0:
+                out = evaluate(
+                    self.spec, self.state.params, self.valid_path,
+                    iou_thres=0.5, conf_thres=0.5, nms_thres=0.5,
+                    img_size=cfg.img_size, batch_size=8,
+                )
+                if out is not None:
+                    precision, recall, ap, f1, ap_class = out
+                    self.logger.log(
+                        {
+                            "validation/precision": float(precision.mean()),
+                            "validation/recall": float(recall.mean()),
+                            "validation/mAP": float(ap.mean()),
+                            "validation/f1": float(f1.mean()),
+                        },
+                        step=epoch,
+                    )
+                    for i, c in enumerate(ap_class):
+                        name = self.class_names[int(c)] if int(c) < len(self.class_names) else str(c)
+                        if name in self.best and ap[i] > self.best[name][0]:
+                            self.best[name] = (float(ap[i]), epoch)
+                    if ap.mean() > self.best["map"][0]:
+                        self.best["map"] = (float(ap.mean()), epoch)
+                    print(f"---- epoch {epoch}: mAP {float(ap.mean()):.5f} "
+                          f"({epoch_time:.1f}s)")
+                else:
+                    print("---- mAP not measured (no detections found by model)")
+
+            if epoch % cfg.checkpoint_interval == 0:
+                self.save_checkpoint(epoch)
+        print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
+        print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
+        print("Best CAA mAP: {} @ epoch: {}".format(*self.best["CAA"]))
+        return self.state
+
+    def save_checkpoint(self, epoch: int):
+        path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{epoch}")
+        weights_io.save_checkpoint(path, {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.state.step),
+            "seen": np.asarray(self.state.seen),
+        })
+
+    def load_checkpoint(self, path: str):
+        tree = weights_io.load_checkpoint(path)
+        self.state = steps_mod.TrainState(
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]),
+            seen=jnp.asarray(tree["seen"]),
+        )
+
+
+__all__ = ["Trainer", "TrainConfig"]

@@ -1,0 +1,120 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh.
+
+The key equivalences (SURVEY §4's prescribed distributed tests):
+
+1. DP over N devices ≡ single-device training on the same global batch
+   (same program semantics; XLA inserts the psum).
+2. DP gradient all-reduce ≡ the reference's gradient accumulation
+   (``train.py:116-119``): sum of micro-batch gradients == N × mean-grad of
+   the sharded global mean loss when micro losses are per-micro means.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amyloid_yolo_tpu.models import darknet
+from amyloid_yolo_tpu.parallel import steps as S
+from amyloid_yolo_tpu.parallel.mesh import make_mesh
+
+from minispec import mini_spec
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    spec = mini_spec()
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    B, cap = 8, 4
+    rngs = np.random.RandomState(5)
+    imgs = rngs.randint(0, 255, (B, 64, 64, 3)).astype(np.uint8)
+    targets = np.zeros((B * cap, 6), np.float32)
+    mask = np.zeros((B * cap,), bool)
+    for b in range(B):
+        targets[b * cap] = [b, b % 2, 0.4 + 0.05 * b / B, 0.5, 0.2, 0.25]
+        mask[b * cap] = True
+    return spec, params, imgs, targets, mask
+
+
+def test_dp_step_equals_single_device(setup):
+    spec, params, imgs, targets, mask = setup
+    opt = S.make_optimizer()
+    step = S.make_train_step(spec, opt, augment=False)
+
+    state1 = S.init_train_state(params, opt)
+    s1, m1 = step(state1, jnp.asarray(imgs), jnp.asarray(targets),
+                  jnp.asarray(mask), jax.random.PRNGKey(0), 64)
+
+    mesh = make_mesh(8)
+    sharded = S.shard_train_step(S.make_train_step(spec, opt, augment=False), mesh)
+    state2 = S.init_train_state(params, opt)
+    s2, m2 = sharded(state2, jnp.asarray(imgs), jnp.asarray(targets),
+                     jnp.asarray(mask), jax.random.PRNGKey(0), 64)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for k in s1.params:
+        for kk in s1.params[k]:
+            np.testing.assert_allclose(
+                np.asarray(s1.params[k][kk]), np.asarray(s2.params[k][kk]),
+                rtol=1e-4, atol=1e-6, err_msg=f"{k}.{kk}")
+
+
+def test_dp_grads_equal_grad_accumulation(setup):
+    """psum-DP gradients == reference-style accumulated micro-batch grads.
+
+    The reference sums loss.backward() over 2 micro-batches of size B/2;
+    under DP the global loss is the mean over B, so
+    sum_micro_grads == 2 * dp_grad.  BatchNorm makes the halves interact, so
+    run with BN in eval stats... instead we verify on the exact semantics:
+    each micro-batch grad uses its own batch stats, so we compare against
+    micro-stepped grads — equality holds because grid assignment and loss
+    decompose over images EXCEPT for BN batch stats; with per-micro BN the
+    sums differ by BN coupling.  To make the equivalence exact we compare
+    dp_grad of the mean-of-per-image losses vs accumulated per-half grads
+    on a BN-stats-frozen forward (eval-mode statistics), which is the
+    apples-to-apples contract.
+    """
+    spec, params, imgs, targets, mask = setup
+
+    # eval-stats loss (freeze BN batch stats) for exact decomposition
+    from amyloid_yolo_tpu.ops.loss import yolo_loss
+    from amyloid_yolo_tpu.ops.preprocess import resize_nearest
+
+    def loss_of(params, imgs_u8, t, m, scale):
+        x = resize_nearest(jnp.asarray(imgs_u8), 64).astype(jnp.float32) / 255.0
+        maps, _ = darknet.apply(params, spec, x, train=False)
+        total, _ = yolo_loss(maps, spec, 64, jnp.asarray(t), jnp.asarray(m))
+        return total * scale
+
+    # Full-batch grad. NOTE the YOLO loss is a mean over obj cells, not over
+    # images, so exact accumulation equivalence holds when each micro-batch
+    # carries the same obj-cell count — arranged here (1 target per image).
+    g_full = jax.grad(lambda p: loss_of(p, imgs, targets, mask, 1.0))(params)
+
+    # accumulated: two halves; to mirror train.py the half losses are means
+    # over their own cells (4 each) — their *average* equals the full-batch
+    # mean loss, so averaging the two half-grads must equal g_full.
+    half = len(imgs) // 2
+    t_half1 = targets[: half * 4].copy()
+    t_half2 = targets[half * 4:].copy()
+    t_half2[:, 0] -= half
+    g1 = jax.grad(lambda p: loss_of(p, imgs[:half], t_half1, mask[: half * 4], 0.5))(params)
+    g2 = jax.grad(lambda p: loss_of(p, imgs[half:], t_half2, mask[half * 4:], 0.5))(params)
+
+    for k in g_full:
+        for kk in g_full[k]:
+            acc = np.asarray(g1[k][kk]) + np.asarray(g2[k][kk])
+            np.testing.assert_allclose(
+                acc, np.asarray(g_full[k][kk]), rtol=2e-3, atol=1e-5,
+                err_msg=f"{k}.{kk}")
+
+
+def test_batch_sharding_layout(setup):
+    spec, params, imgs, targets, mask = setup
+    mesh = make_mesh(8)
+    from amyloid_yolo_tpu.parallel.mesh import batch_sharding
+
+    arr = jax.device_put(jnp.asarray(imgs), batch_sharding(mesh))
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape[0] == 1  # B=8 over 8 devices
