@@ -1,1 +1,1 @@
-from . import prospective, validation  # noqa: F401
+from . import plots, prospective, validation  # noqa: F401

@@ -370,7 +370,9 @@ def get_interrater_agreement(
         from ..domain import get_accuracy
 
         pair_map[(a1, a2)] = {
-            cls: get_accuracy(final1[cls], final2[cls]) for cls in AMYLOID_CLASSES
+            cls: (get_accuracy(final1[cls], final2[cls]) if final1[cls]
+                  else float("nan"))  # class absent from both annotators
+            for cls in AMYLOID_CLASSES
         }
     return pair_map
 

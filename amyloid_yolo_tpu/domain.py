@@ -321,6 +321,68 @@ def draw_detections(img: np.ndarray, detections: np.ndarray,
 # Misc (core.py:482-495, clear.py)
 # ---------------------------------------------------------------------------
 
+def seed_folder_from_list(list_path: str, dest_dir: str) -> None:
+    """Copy the images named in a train/valid list into a flat folder
+    (``seedTestFolder``/``seedTrainFolder``, ``core.py:80-106`` — the
+    reference defines both twice; one parameterized function here)."""
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)
+    os.makedirs(dest_dir)
+    with open(list_path) as fh:
+        for line in fh.read().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            shutil.copy(line, os.path.join(dest_dir, os.path.basename(line)))
+
+
+def compare_premerge_with_postmerge(premerge: Dict[str, list],
+                                    postmerge: Dict[str, list],
+                                    output_dir: str = "output",
+                                    sample_size: int = 100,
+                                    seed: int = 0) -> None:
+    """Render pre- vs post-merge label maps side by side
+    (``comparePreMergeLabelsWithPostMerge``, ``core.py:573-600``):
+    CAA-containing images only, boxes drawn uncolored."""
+    import random as _random
+
+    from PIL import Image
+
+    from .io.datasets import load_image_rgb
+
+    assert set(premerge.keys()) == set(postmerge.keys())
+    pre = filter_map_to_get_cored_or_caa(premerge, just_CAA=True)
+    post = filter_map_to_get_cored_or_caa(postmerge, just_CAA=True)
+    images = list(pre.keys())
+    _random.Random(seed).shuffle(images)
+    images = images[:sample_size]
+    for mapp, l_type in [(pre, "premerge"), (post, "postmerge")]:
+        save_dir = os.path.join(output_dir, l_type)
+        os.makedirs(save_dir, exist_ok=True)
+        for img_name in images:
+            if img_name not in mapp:
+                continue
+            img = load_image_rgb(img_name)
+            annotated = draw_bboxes(img, mapp[img_name], color_by_class=False)
+            save_name = l_type + "_" + img_name.replace("/", "_")
+            Image.fromarray(annotated).save(os.path.join(save_dir, save_name))
+
+
+def wsis_with_most_caas(counts_pickle: str, n: int = 12) -> List[str]:
+    """Top-N WSIs by CAA count from a plaque-counts pickle.
+
+    The reference *calls* ``getWSIsWithMostCAAs(n=12)``
+    (``validation.py:79``) but never defines it anywhere in the repo — a
+    latent NameError on its "lise dataset" path; this is the working
+    implementation of the evident intent.
+    """
+    with open(counts_pickle, "rb") as fh:
+        counts = pickle.load(fh)
+    ranked = sorted(counts.items(), key=lambda kv: kv[1].get("CAA", 0),
+                    reverse=True)
+    return [wsi for wsi, _ in ranked[:n]]
+
+
 def device_memory_stats() -> Dict[int, Dict[str, int]]:
     """Per-device memory stats via JAX — the TPU-native ``nvidia-smi``
     replacement (``core.py:482-495``)."""
@@ -350,4 +412,6 @@ __all__ = [
     "iou_xyxy", "IOU", "get_accuracy", "get_tps", "CAAFilter",
     "write_caa_detections", "pre_process", "filter_map_to_get_cored_or_caa",
     "draw_bboxes", "draw_detections", "device_memory_stats", "clear_output_dir",
+    "seed_folder_from_list", "compare_premerge_with_postmerge",
+    "wsis_with_most_caas",
 ]

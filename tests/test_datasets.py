@@ -1,0 +1,113 @@
+"""Host dataset pipeline: folders, list datasets, multiscale, native reader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from amyloid_yolo_tpu.io.datasets import ImageFolder, ListDataset, pad_to_square_np
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(5):
+        img = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+        p = img_dir / f"t{i}.jpg"
+        Image.fromarray(img).save(p)
+        (lbl_dir / f"t{i}.txt").write_text("1 0.5 0.5 0.2 0.2\n0 0.25 0.25 0.1 0.1\n")
+        paths.append(str(p))
+    (root / "train.txt").write_text("\n".join(paths) + "\n")
+    # one corrupt image listed
+    (img_dir / "bad.jpg").write_bytes(b"nope")
+    (lbl_dir / "bad.txt").write_text("1 0.5 0.5 0.2 0.2\n")
+    (root / "train_with_bad.txt").write_text("\n".join(paths + [str(img_dir / "bad.jpg")]) + "\n")
+    return root
+
+
+def test_image_folder_batches(data_dir):
+    folder = ImageFolder(str(data_dir / "images"), tile_size=256)
+    batches = list(folder.iter_batches(2))
+    n = sum(nv for _, _, nv in batches)
+    assert n == 5  # corrupt file skipped
+    for paths, batch, nv in batches:
+        assert batch.shape == (2, 256, 256, 3)
+        assert batch.dtype == np.uint8
+
+
+def test_image_folder_resize_to(data_dir):
+    folder = ImageFolder(str(data_dir / "images"), tile_size=256, resize_to=64)
+    paths, batch, nv = next(folder.iter_batches(4))
+    assert batch.shape == (4, 64, 64, 3)
+
+
+def test_list_dataset_labels(data_dir):
+    ds = ListDataset(str(data_dir / "train.txt"), img_size=416, multiscale=False)
+    path, img, boxes = ds[0]
+    assert img.shape == (256, 256, 3)
+    assert boxes.shape == (2, 5)
+    # square image: normalized labels unchanged by padding
+    np.testing.assert_allclose(boxes[0], [1, 0.5, 0.5, 0.2, 0.2], atol=1e-6)
+
+
+def test_list_dataset_collate_padding(data_dir):
+    ds = ListDataset(str(data_dir / "train.txt"), img_size=416,
+                     multiscale=False, max_objects=10)
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["images"].shape == (2, 256, 256, 3)
+    assert batch["targets"].shape == (20, 6)
+    assert batch["target_mask"].sum() == 4
+    assert batch["targets"][10, 0] == 1  # second image's block carries idx 1
+
+
+def test_list_dataset_drops_corrupt(data_dir):
+    ds = ListDataset(str(data_dir / "train_with_bad.txt"), multiscale=False)
+    assert ds[5] is None  # corrupt
+    batch = ds.collate([ds[4], ds[5]])
+    assert batch["images"].shape[0] == 1
+
+
+def test_multiscale_schedule(data_dir):
+    ds = ListDataset(str(data_dir / "train.txt"), img_size=416, multiscale=True, seed=3)
+    sizes = [ds.next_size() for _ in range(40)]
+    assert all(s % 32 == 0 and 320 <= s <= 512 for s in sizes)
+    # size changes only on multiples of 10 (reference utils/datasets.py:132)
+    for i, s in enumerate(sizes):
+        if (i + 1) % 10 != 0:
+            assert s == (sizes[i - 1] if i else 416)
+    assert len(set(sizes)) > 1
+
+
+def test_pad_to_square_np():
+    img = np.ones((10, 20, 3), np.uint8)
+    out, (l, r, t, b) = pad_to_square_np(img)
+    assert out.shape == (20, 20, 3)
+    assert (l, r) == (0, 0) and t == 5 and b == 5
+
+
+def test_native_reader_parity_if_available(data_dir):
+    from amyloid_yolo_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native tile reader not built")
+    from amyloid_yolo_tpu.io.datasets import load_image_rgb
+
+    pool = native.TilePool(1)
+    paths = sorted(
+        str(data_dir / "images" / f) for f in os.listdir(data_dir / "images")
+        if f.startswith("t"))
+    batch, ok = pool.decode_batch(paths, tile_size=256, resize_to=0)
+    assert ok.all()
+    for p, arr in zip(paths, batch):
+        np.testing.assert_array_equal(arr, load_image_rgb(p))
+    # corrupt file flagged, not fatal
+    batch, ok = pool.decode_batch([str(data_dir / "images" / "bad.jpg")], 256, 0)
+    assert not ok[0]
+    pool.close()

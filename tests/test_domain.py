@@ -69,7 +69,9 @@ def build_torch_net():
 
         def forward(self, x):
             x = self.features(x)
-            return self.classifier(x.view(x.size(0), -1))
+            # .reshape, not .view: double-precision CPU pooling can hand
+            # back non-contiguous tensors; same math as the reference
+            return self.classifier(x.reshape(x.size(0), -1))
 
     return Net()
 

@@ -21,6 +21,12 @@ from amyloid_yolo_tpu.parallel.mesh import make_mesh
 from minispec import mini_spec
 
 
+def fresh(params):
+    """Deep-copy a param tree — the train step donates its input state, so
+    shared buffers would be invalidated across tests."""
+    return jax.tree.map(jnp.copy, params)
+
+
 @pytest.fixture(scope="module")
 def setup():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
@@ -42,13 +48,13 @@ def test_dp_step_equals_single_device(setup):
     opt = S.make_optimizer()
     step = S.make_train_step(spec, opt, augment=False)
 
-    state1 = S.init_train_state(params, opt)
+    state1 = S.init_train_state(fresh(params), opt)
     s1, m1 = step(state1, jnp.asarray(imgs), jnp.asarray(targets),
                   jnp.asarray(mask), jax.random.PRNGKey(0), 64)
 
     mesh = make_mesh(8)
     sharded = S.shard_train_step(S.make_train_step(spec, opt, augment=False), mesh)
-    state2 = S.init_train_state(params, opt)
+    state2 = S.init_train_state(fresh(params), opt)
     s2, m2 = sharded(state2, jnp.asarray(imgs), jnp.asarray(targets),
                      jnp.asarray(mask), jax.random.PRNGKey(0), 64)
 
@@ -76,6 +82,7 @@ def test_dp_grads_equal_grad_accumulation(setup):
     apples-to-apples contract.
     """
     spec, params, imgs, targets, mask = setup
+    params = fresh(params)
 
     # eval-stats loss (freeze BN batch stats) for exact decomposition
     from amyloid_yolo_tpu.ops.loss import yolo_loss

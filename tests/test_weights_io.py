@@ -34,9 +34,16 @@ def test_darknet_binary_roundtrip(spec_params, tmp_path):
     tree_equal(params, loaded)
 
 
-def test_darknet_binary_backbone_cutoff(spec_params, tmp_path):
-    """A file named darknet53.conv.74 loads only the first 75 layers."""
-    spec, params = spec_params
+def test_darknet_binary_backbone_cutoff(tmp_path):
+    """A file named darknet53.conv.74 loads only the first 75 layers.
+
+    Uses the full yolov3 spec (weight IO is pure numpy, no compile): the
+    mini spec has no conv at index >= 75 so it cannot span the cutoff.
+    """
+    from amyloid_yolo_tpu.graphspec import yolov3_spec
+
+    spec = yolov3_spec(num_classes=2)
+    params = darknet.init_params(jax.random.PRNGKey(3), spec)
     p = str(tmp_path / "darknet53.conv.74")
     W.save_darknet_weights(spec, params, p, cutoff=75)
     base = darknet.init_params(jax.random.PRNGKey(9), spec)

@@ -110,16 +110,17 @@ def build_targets_torch(pred_boxes, pred_cls, target, anchors, ignore_thres):
     (``utils/utils.py:276-330`` semantics, last-writer-wins)."""
     nB, nA, nG = pred_boxes.shape[0], pred_boxes.shape[1], pred_boxes.shape[2]
     nC = pred_cls.shape[-1]
+    dt = pred_boxes.dtype
 
     obj_mask = torch.zeros(nB, nA, nG, nG, dtype=torch.bool)
     noobj_mask = torch.ones(nB, nA, nG, nG, dtype=torch.bool)
-    class_mask = torch.zeros(nB, nA, nG, nG)
-    iou_scores = torch.zeros(nB, nA, nG, nG)
-    tx = torch.zeros(nB, nA, nG, nG)
-    ty = torch.zeros(nB, nA, nG, nG)
-    tw = torch.zeros(nB, nA, nG, nG)
-    th = torch.zeros(nB, nA, nG, nG)
-    tcls = torch.zeros(nB, nA, nG, nG, nC)
+    class_mask = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    iou_scores = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    tx = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    ty = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    tw = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    th = torch.zeros(nB, nA, nG, nG, dtype=dt)
+    tcls = torch.zeros(nB, nA, nG, nG, nC, dtype=dt)
 
     tb = target[:, 2:6] * nG
     gxy = tb[:, :2]
@@ -131,6 +132,10 @@ def build_targets_torch(pred_boxes, pred_cls, target, anchors, ignore_thres):
         inter = torch.min(w1, w2) * torch.min(h1, h2)
         return inter / (w1 * h1 + 1e-16 + w2 * h2 - inter)
 
+    target = target.to(dt)
+    tb = tb.to(dt)
+    gxy = gxy.to(dt)
+    gwh = gwh.to(dt)
     ious = torch.stack([wh_iou(a, gwh) for a in anchors])
     best_ious, best_n = ious.max(0)
     b, labels = target[:, :2].long().t()
@@ -146,7 +151,8 @@ def build_targets_torch(pred_boxes, pred_cls, target, anchors, ignore_thres):
     tw[b, best_n, gj, gi] = torch.log(gw / anchors[best_n][:, 0] + 1e-16)
     th[b, best_n, gj, gi] = torch.log(gh / anchors[best_n][:, 1] + 1e-16)
     tcls[b, best_n, gj, gi, labels] = 1
-    class_mask[b, best_n, gj, gi] = (pred_cls[b, best_n, gj, gi].argmax(-1) == labels).float()
+    class_mask[b, best_n, gj, gi] = (
+        pred_cls[b, best_n, gj, gi].argmax(-1) == labels).to(dt)
 
     def box_iou_xywh(b1, b2):
         b1x1, b1x2 = b1[:, 0] - b1[:, 2] / 2, b1[:, 0] + b1[:, 2] / 2
@@ -163,7 +169,7 @@ def build_targets_torch(pred_boxes, pred_cls, target, anchors, ignore_thres):
         return inter / (a1 + a2 - inter + 1e-16)
 
     iou_scores[b, best_n, gj, gi] = box_iou_xywh(pred_boxes[b, best_n, gj, gi], tb)
-    tconf = obj_mask.float()
+    tconf = obj_mask.to(dt)
     return iou_scores, class_mask, obj_mask, noobj_mask, tx, ty, tw, th, tcls, tconf
 
 
