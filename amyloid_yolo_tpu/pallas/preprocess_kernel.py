@@ -44,16 +44,16 @@ def _selection_matrix(src: int, dst: int, scale: float) -> np.ndarray:
 
 
 def _kernel(rows_ref, sel_ref, out_ref):
-    # rows_ref: (ROWS_PER_TILE, src_w, 3) uint8 source rows (already the
+    # rows_ref: (1, ROWS_PER_TILE, src_w, 3) uint8 source rows (already the
     # nearest rows for this output tile, via the index map)
     # sel_ref: (src_w, dst_w) f32 selection/scale matrix
-    # out_ref: (ROWS_PER_TILE, dst_w, 3) f32
-    rows = rows_ref[:].astype(jnp.float32)  # (R, src_w, 3)
+    # out_ref: (1, ROWS_PER_TILE, dst_w, 3) f32
+    rows = rows_ref[0].astype(jnp.float32)  # (R, src_w, 3)
     r, sw, c = rows.shape
     # (R*3, src_w) @ (src_w, dst_w) on the MXU
     rows_t = rows.transpose(0, 2, 1).reshape(r * c, sw)
     out = jnp.dot(rows_t, sel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = out.reshape(r, c, -1).transpose(0, 2, 1)
+    out_ref[0] = out.reshape(r, c, -1).transpose(0, 2, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("dst", "rows_per_tile", "interpret"))
@@ -94,14 +94,6 @@ def resize_normalize(tiles_u8: jnp.ndarray, dst: int = 416,
         interpret=interpret,
     )(rows_gathered, sel)
     return out
-
-
-def _kernel_batched(rows_ref, sel_ref, out_ref):
-    rows = rows_ref[0].astype(jnp.float32)
-    r, sw, c = rows.shape
-    rows_t = rows.transpose(0, 2, 1).reshape(r * c, sw)
-    out = jnp.dot(rows_t, sel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = out.reshape(r, c, -1).transpose(0, 2, 1)
 
 
 __all__ = ["resize_normalize"]
