@@ -44,6 +44,9 @@ def cmd_train(args) -> int:
         logdir=args.logdir,
         verbose=args.verbose,
         data_parallel=args.data_parallel,
+        checkpoint_dir=args.checkpoint_dir,
+        augment=not args.no_augment,
+        max_batches_per_epoch=args.max_batches_per_epoch,
     )
     Trainer(cfg).train()
     return 0
@@ -120,6 +123,36 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Whole-slide sweep: per-WSI/per-tile plaque counts
+    (``validation.py calculatePlaqueCountsPerWSI`` path)."""
+    from ..analysis.validation import calculate_plaque_counts_per_wsi
+    from ..detectors import Detector
+    from ..domain import CAAFilter, wsis_with_most_caas
+    from ..graphspec import yolov3_spec
+    from ..io import weights as W
+
+    spec = yolov3_spec(num_classes=2)
+    params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
+    det = Detector(spec, params, conf_thres=args.conf_thres,
+                   nms_thres=args.nms_thres)
+    caa_filter = None
+    if _truthy(args.filter_CAA_detections_by_model):
+        caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
+                               normalization=args.caa_normalization)
+    whitelist = None
+    if args.top_caa_wsis and args.top_caa_counts_pickle:
+        whitelist = wsis_with_most_caas(args.top_caa_counts_pickle, args.top_caa_wsis)
+    counts = calculate_plaque_counts_per_wsi(
+        args.directory, det, caa_filter=caa_filter, prefix=args.prefix,
+        pickles_dir=args.pickles_dir, batch_size=args.batch_size,
+        save_images=_truthy(args.save_images), wsi_whitelist=whitelist,
+    )
+    for wsi, c in counts.items():
+        print(f"{wsi}: Cored={c['Cored']} CAA={c['CAA']}")
+    return 0
+
+
 def cmd_crop(args) -> int:
     from ..io import tiles
 
@@ -130,6 +163,34 @@ def cmd_crop(args) -> int:
     tiles.merge_1536_subdirectories(args.save_dir)
     if args.temp_map_pickle and os.path.exists(args.temp_map_pickle):
         tiles.rename_temp_directories(args.save_dir, args.temp_map_pickle)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Convert between checkpoint formats: orbax <-> reference .pth <->
+    darknet binary (``models.py:257-336`` formats)."""
+    from ..graphspec import yolov3_spec
+    from ..io import weights as W
+
+    spec = yolov3_spec(num_classes=2)
+    src = args.src
+    if os.path.isdir(src):  # orbax checkpoint dir
+        tree = W.load_checkpoint(src)
+        params = tree["params"] if "params" in tree else tree
+    else:
+        params = W.load_pretrained(spec, src)
+    dst = args.dst
+    if dst.endswith(".pth"):
+        import torch
+
+        sd = {k: torch.from_numpy(v.copy()) if hasattr(v, "copy") else v
+              for k, v in W.params_to_torch_state_dict(spec, params).items()}
+        torch.save(sd, dst)
+    elif dst.endswith(".weights") or "darknet" in os.path.basename(dst):
+        W.save_darknet_weights(spec, params, dst, seen=args.seen)
+    else:
+        W.save_checkpoint(dst, {"params": params})
+    print(f"exported {src} -> {dst}")
     return 0
 
 
@@ -168,6 +229,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--verbose", "-v", default=False, action="store_true")
     t.add_argument("--logdir", type=str, default="logs")
     t.add_argument("--data_parallel", type=int, default=None)
+    t.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    t.add_argument("--no_augment", action="store_true")
+    t.add_argument("--max_batches_per_epoch", type=int, default=None)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")
@@ -197,11 +261,36 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
     d.set_defaults(fn=cmd_detect)
 
+    s = sub.add_parser("sweep")
+    s.add_argument("--directory", type=str, required=True,
+                   help="tiled WSI root (e.g. data/CERAD/1536_tiles/)")
+    s.add_argument("--weights_path", type=str)
+    s.add_argument("--prefix", type=str, default="CERAD_")
+    s.add_argument("--pickles_dir", type=str, default="pickles")
+    s.add_argument("--conf_thres", type=float, default=0.8)
+    s.add_argument("--nms_thres", type=float, default=0.4)
+    s.add_argument("--batch_size", type=int, default=8)
+    s.add_argument("--save_images", type=str, default="False")
+    s.add_argument("--filter_CAA_detections_by_model", type=str, default="True")
+    s.add_argument("--caa_model_pickle", type=str,
+                   default="pickles/model_all_fold_3_thresholding_2_l2.pkl")
+    s.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
+    s.add_argument("--top_caa_wsis", type=int, default=None)
+    s.add_argument("--top_caa_counts_pickle", type=str, default=None)
+    s.set_defaults(fn=cmd_sweep)
+
     c = sub.add_parser("crop")
     c.add_argument("--wsi_dirs", nargs="+", required=True)
     c.add_argument("--save_dir", type=str, default="data/CERAD/1536_tiles/")
     c.add_argument("--temp_map_pickle", type=str, default="pickles/temporary_WSI_map.pkl")
     c.set_defaults(fn=cmd_crop)
+
+    x = sub.add_parser("export")
+    x.add_argument("--src", type=str, required=True,
+                   help="orbax dir | .pth | darknet .weights")
+    x.add_argument("--dst", type=str, required=True)
+    x.add_argument("--seen", type=int, default=0)
+    x.set_defaults(fn=cmd_export)
 
     cl = sub.add_parser("clear")
     cl.add_argument("--output_dir", type=str, default="output/")

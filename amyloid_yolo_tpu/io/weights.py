@@ -175,10 +175,24 @@ def save_checkpoint(path: str, tree) -> None:
 
 
 def load_checkpoint(path: str):
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    apath = os.path.abspath(path)
+    try:
+        return ckptr.restore(apath)
+    except Exception:
+        # restoring on a different device topology than the save (e.g. CLI
+        # process vs 8-device test mesh): restore as host numpy arrays,
+        # which any caller can re-place
+        meta = ckptr.metadata(apath)
+        tree = getattr(meta, "item_metadata", meta)
+        if hasattr(tree, "tree"):
+            tree = tree.tree
+        restore_args = jax.tree.map(
+            lambda _m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(apath, restore_args=restore_args)
 
 
 __all__ = [

@@ -61,6 +61,18 @@ def non_max_suppression(
 
 
 def _nms_single(pred, conf_thres, nms_thres, capacity):
+    """Greedy merging NMS in parallel form.
+
+    The greedy loop's *decisions* depend only on the original (pre-merge)
+    coordinates: a kept box's merged coordinates never feed later IoU tests
+    (the reference computes ``large_overlap`` against row 0's original
+    coords before overwriting them, ``utils/utils.py:261-267``).  So the
+    sequential part reduces to the keep/suppress recurrence over the
+    score-sorted suppression matrix — a K-step scan of two boolean vector
+    ops — and cluster assignment + confidence-weighted merging vectorize
+    completely (each suppressed box belongs to the FIRST keeper that
+    overlaps it, which is exactly the greedy cluster).
+    """
     boxes = xywh2xyxy(pred[:, :4])
     conf = pred[:, 4]
     cls_probs = pred[:, 5:]
@@ -85,29 +97,33 @@ def _nms_single(pred, conf_thres, nms_thres, capacity):
         det = jnp.pad(det, ((0, capacity - k), (0, 0)))
         top_scores = jnp.pad(top_scores, (0, capacity - k), constant_values=-jnp.inf)
     active0 = top_scores > -jnp.inf
-    out0 = jnp.zeros_like(det)
-    keep0 = jnp.zeros((capacity,), jnp.bool_)
 
-    def body(i, carry):
-        active, out, keep = carry
+    # potential-suppression matrix over score order (diagonal included)
+    ious = bbox_iou(det[:, None, :4], det[None, :, :4])  # (K, K)
+    m = (ious > nms_thres) & (det[:, None, 6] == det[None, :, 6])
+    m = m & active0[:, None] & active0[None, :]
 
-        def take(carry):
-            active, out, keep = carry
-            row = det[i]
-            ious = bbox_iou(row[None, :4], det[:, :4])
-            invalid = (ious > nms_thres) & (det[:, 6] == row[6]) & active
-            w = jnp.where(invalid, det[:, 4], 0.0)
-            wsum = jnp.sum(w)
-            merged = jnp.sum(w[:, None] * det[:, :4], axis=0) / wsum
-            new_row = jnp.concatenate([merged, row[4:]])
-            out = out.at[i].set(new_row)
-            keep = keep.at[i].set(True)
-            active = active & jnp.logical_not(invalid)
-            return active, out, keep
+    def body(suppressed, i):
+        is_keep = active0[i] & ~suppressed[i]
+        suppressed = suppressed | (m[i] & is_keep)
+        return suppressed, is_keep
 
-        return jax.lax.cond(active[i], take, lambda c: c, (active, out, keep))
+    _, keep = jax.lax.scan(body, jnp.zeros((capacity,), jnp.bool_),
+                           jnp.arange(capacity))
 
-    _, out, keep = jax.lax.fori_loop(0, capacity, body, (active0, out0, keep0))
+    # cluster owner of each row = first keeper whose row suppresses it
+    keeper_m = keep[:, None] & m                       # (K, K)
+    owner = jnp.argmax(keeper_m, axis=0)               # first-True index
+    member = jnp.any(keeper_m, axis=0) & active0
+
+    w = jnp.where(member, det[:, 4], 0.0)
+    wsum = jax.ops.segment_sum(w, owner, num_segments=capacity)
+    wbox = jax.ops.segment_sum(w[:, None] * det[:, :4], owner,
+                               num_segments=capacity)
+    merged = wbox / jnp.maximum(wsum, 1e-30)[:, None]
+
+    out = jnp.concatenate([jnp.where(keep[:, None], merged, 0.0),
+                           jnp.where(keep[:, None], det[:, 4:], 0.0)], axis=-1)
     return out, keep
 
 

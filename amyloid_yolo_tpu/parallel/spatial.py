@@ -1,0 +1,75 @@
+"""Spatial sharding: native-resolution inference across chips.
+
+The reference downsamples every 1536² tile to 416² before detection
+(``Resize(416)``, ``validation.py:90``) because one GPU cannot hold the
+native-resolution activations.  On a TPU slice the closest analog of
+sequence/context parallelism for this CNN (SURVEY §5 "long-context") is
+**spatial** sharding: partition the image height across the ``sp`` mesh
+axis and let GSPMD partition every convolution with halo exchanges over
+ICI — no manual collective choreography, the same functional model runs
+unmodified.
+
+This enables detection at full 1536² input (stride-8 head sees 192×192
+cells instead of 52×52), a capability the reference does not have; it is
+exercised on the virtual CPU mesh in tests and kept independent of the
+production 416² path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graphspec import GraphSpec
+from ..models import darknet, heads
+
+
+def make_spatial_mesh(n_sp: int, n_dp: int = 1) -> Mesh:
+    devs = jax.devices()
+    need = n_sp * n_dp
+    if need > len(devs):
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    arr = np.array(devs[:need]).reshape(n_dp, n_sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def spatial_forward(
+    params,
+    spec: GraphSpec,
+    tiles: jnp.ndarray,
+    mesh: Mesh,
+    img_dim: Optional[int] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Run the detector forward with activations sharded (batch over dp,
+    height over sp); returns decoded predictions (replicated).
+
+    ``tiles``: (B, S, S, 3) float input (already normalized).  XLA inserts
+    halo exchanges for every conv under the hood; the decoded output is
+    small, so it is returned unsharded.
+    """
+    img_dim = img_dim or tiles.shape[1]
+    x_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fwd(p, x):
+        maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
+            if _is_folded(p) else darknet.apply(p, spec, x, compute_dtype=compute_dtype)[0]
+        out = heads.decode_all(list(maps), spec, img_dim)
+        return jax.lax.with_sharding_constraint(out, rep)
+
+    x = jax.device_put(tiles, x_sharding)
+    p = jax.device_put(params, rep)
+    return fwd(p, x)
+
+
+def _is_folded(params) -> bool:
+    return not any(k.startswith("bn_") for k in params)
+
+
+__all__ = ["make_spatial_mesh", "spatial_forward"]

@@ -1,0 +1,58 @@
+"""CLI surface: parser wiring, flag conventions, export round trip."""
+
+import numpy as np
+import pytest
+import jax
+
+from amyloid_yolo_tpu.cli.main import _truthy, build_parser
+
+
+def test_truthy_reference_convention():
+    # the reference passes booleans as strings (detect.py:132)
+    assert _truthy("True") and _truthy(True) and _truthy("true") and _truthy("1")
+    assert not _truthy("False") and not _truthy(None) and not _truthy("0")
+
+
+def test_parser_commands():
+    p = build_parser()
+    for cmd in ["train", "test", "detect", "sweep", "crop", "clear", "bench", "export"]:
+        args = p.parse_args([cmd] + (
+            ["--weights_path", "x"] if cmd == "test" else
+            ["--wsi_dirs", "a"] if cmd == "crop" else
+            ["--directory", "d"] if cmd == "sweep" else
+            ["--src", "a", "--dst", "b"] if cmd == "export" else []))
+        assert args.command == cmd
+
+
+def test_train_parser_defaults():
+    args = build_parser().parse_args(["train"])
+    assert args.epochs == 100 and args.batch_size == 8
+    assert args.gradient_accumulations == 2
+    assert args.img_size == 416
+
+
+def test_detect_parser_operating_point():
+    args = build_parser().parse_args(["detect"])
+    assert args.conf_thres == 0.8 and args.nms_thres == 0.4  # README.md:39
+
+
+def test_export_roundtrip(tmp_path):
+    """orbax -> darknet binary -> identical params via export machinery."""
+    import sys
+
+    from amyloid_yolo_tpu.graphspec import yolov3_spec
+    from amyloid_yolo_tpu.io import weights as W
+    from amyloid_yolo_tpu.models import darknet
+
+    spec = yolov3_spec(num_classes=2)
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    ck = str(tmp_path / "ck")
+    W.save_checkpoint(ck, {"params": params})
+    from amyloid_yolo_tpu.cli.main import main
+
+    dst = str(tmp_path / "model.weights")
+    assert main(["export", "--src", ck, "--dst", dst]) == 0
+    loaded, _ = W.load_darknet_weights(spec, dst)
+    np.testing.assert_allclose(
+        np.asarray(loaded["conv_0"]["w"]), np.asarray(params["conv_0"]["w"]),
+        rtol=1e-6)
