@@ -25,7 +25,7 @@ The spec can be built two ways:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+from typing import FrozenSet, List, Sequence, Tuple
 
 from .parsecfg import parse_model_config
 
