@@ -126,13 +126,23 @@ class Detector:
         batch_size: int = 16,
         merge_boxes: bool = False,
         caa_filter=None,
+        pipeline_depth: int = 2,
     ) -> Dict[str, Optional[np.ndarray]]:
         """Run over every image in a folder (reference ``detect.py`` flow).
 
         ``caa_filter``: optional callable (path, dets) -> dets implementing
         the consensus-model CAA filter (:func:`amyloid_yolo_tpu.domain.
-        filter_detections_by_caa_model`).
+        CAAFilter`).
+
+        Device dispatch is pipelined ``pipeline_depth`` batches ahead of the
+        host-side merge/filter postprocessing (jit calls are async; fetching
+        a result is the only sync point), so the chip keeps working while
+        the host merges the previous batch — the reference's sweep
+        serializes GPU inference against per-image host loops
+        (``validation.py:100-129``).
         """
+        import collections
+
         from .ops.merge import merge_detections
 
         folder_ds = ImageFolder(
@@ -140,8 +150,11 @@ class Detector:
             resize_to=self.model_size if self.host_resize else None,
         )
         results: Dict[str, Optional[np.ndarray]] = {}
-        for paths, batch, n_valid in folder_ds.iter_batches(batch_size):
-            ragged = self.detect_batch_ragged(batch)
+        inflight: "collections.deque" = collections.deque()
+
+        def drain_one():
+            paths, n_valid, (dets, valid) = inflight.popleft()
+            ragged = nms_ops.dense_to_ragged(dets, valid)  # sync point
             for path, det in list(zip(paths, ragged))[:n_valid]:
                 if det is not None and merge_boxes:
                     det = merge_detections(det)
@@ -150,6 +163,13 @@ class Detector:
                     if det is not None and len(det) == 0:
                         det = None
                 results[path] = det
+
+        for paths, batch, n_valid in folder_ds.iter_batches(batch_size):
+            inflight.append((paths, n_valid, self(batch)))
+            if len(inflight) > pipeline_depth:
+                drain_one()
+        while inflight:
+            drain_one()
         return results
 
 
