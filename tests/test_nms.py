@@ -74,15 +74,23 @@ def test_np_matches_reference(rng):
 
 
 def test_device_matches_np(rng):
-    pred = random_preds(rng, b=4, n=80)
-    dets, valid = non_max_suppression(jnp.asarray(pred), 0.5, 0.4, capacity=96)
-    ragged = dense_to_ragged(dets, valid)
-    ref = non_max_suppression_np(pred, 0.5, 0.4)
-    for a, b in zip(ragged, ref):
-        assert (a is None) == (b is None)
-        if a is not None:
-            assert a.shape == b.shape
-            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+    # many random trials (same shapes -> one compile) incl. heavy-overlap
+    # regimes where clusters chain
+    for trial in range(8):
+        r = np.random.RandomState(trial)
+        pred = random_preds(r, b=4, n=80)
+        if trial % 2:  # crowd the boxes to force multi-member clusters
+            pred[..., 0:2] = r.rand(4, 80, 2) * 120
+            pred[..., 2:4] = r.rand(4, 80, 2) * 100 + 20
+        dets, valid = non_max_suppression(jnp.asarray(pred), 0.5, 0.4, capacity=96)
+        ragged = dense_to_ragged(dets, valid)
+        ref = non_max_suppression_np(pred, 0.5, 0.4)
+        for a, b in zip(ragged, ref):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a.shape == b.shape, f"trial {trial}"
+                np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                           err_msg=f"trial {trial}")
 
 
 def test_device_high_conf_operating_point(rng):
