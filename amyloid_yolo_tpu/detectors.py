@@ -64,6 +64,7 @@ class Detector:
         compute_dtype=jnp.bfloat16,
         fold_bn: bool = True,
         host_resize: bool = False,
+        mesh=None,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -81,6 +82,16 @@ class Detector:
         # shrinking host→device traffic ~13x (1536²→416²).  Use it when the
         # host link is thin; keep the on-device resize when PCIe is fat.
         self.host_resize = host_resize
+        # mesh: optional jax.sharding.Mesh with a "dp" axis — inference
+        # batches shard across chips (the multi-chip WSI sweep: tiles are
+        # embarrassingly parallel, scaling is linear over ICI).  Params are
+        # replicated; the same jitted program serves 1..N chips.
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+
+            self._batch_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(self.params, replicated(mesh))
         self._fn = self._build()
 
     def _build(self):
@@ -112,7 +123,11 @@ class Detector:
 
     def __call__(self, tiles_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K))."""
-        return self._fn(self.params, jnp.asarray(tiles_u8))
+        if self.mesh is not None:
+            tiles = jax.device_put(jnp.asarray(tiles_u8), self._batch_sharding)
+        else:
+            tiles = jnp.asarray(tiles_u8)
+        return self._fn(self.params, tiles)
 
     # -- host-facing conveniences -------------------------------------------
 

@@ -1,0 +1,27 @@
+"""Multi-chip batch-sharded inference ≡ single-device inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from amyloid_yolo_tpu.detectors import Detector
+from amyloid_yolo_tpu.models import darknet
+from amyloid_yolo_tpu.parallel.mesh import make_mesh
+
+from minispec import mini_spec
+
+
+def test_dp_detector_matches_single(rng):
+    spec = mini_spec(num_classes=2, img_size=64)
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    kw = dict(conf_thres=0.3, nms_thres=0.4, model_size=64, tile_size=256,
+              capacity=16, compute_dtype=jnp.float32)
+    single = Detector(spec, params, **kw)
+    dp = Detector(spec, params, mesh=make_mesh(8), **kw)
+    tiles = rng.randint(0, 255, (8, 256, 256, 3)).astype(np.uint8)
+    d1, v1 = single(tiles)
+    d2, v2 = dp(tiles)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+    # outputs genuinely sharded across the mesh
+    assert len(d2.sharding.device_set) == 8
