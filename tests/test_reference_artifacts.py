@@ -9,14 +9,24 @@ when the mount is absent.
 
 import glob
 import os
+import pickle
 
 import numpy as np
 import pytest
 
 REF_DIR = "/root/reference/PRC_tables"
+REF_ANN = "/root/reference/prospective_annotations"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_DIR), reason="reference mount not available")
+
+
+def load_annotators():
+    anns = {}
+    for i in range(1, 5):
+        with open(os.path.join(REF_ANN, f"NP{i}_annotations.pkl"), "rb") as fh:
+            anns[f"NP{i}"] = pickle.load(fh)
+    return anns
 
 
 def tables():
@@ -84,3 +94,69 @@ def test_ap_from_published_tables_sane():
             # agreement bottoms out at 0.27 in the real data)
             floor = 0.35 if annotator == "consensus" else 0.1
             assert aps[0] > floor, (annotator, cls, aps)
+
+
+def test_consensus_benchmark_reproduces_published_pickle():
+    """Our create_merged_or_consensus_benchmark at IoU 0.5 reproduces the
+    REAL shipped ``consensus_annotations.pkl`` box-for-box: 200/200 images,
+    all 520 entries identical (verified against the published artifact)."""
+    from amyloid_yolo_tpu.analysis.prospective import (
+        create_merged_or_consensus_benchmark,
+    )
+
+    anns = load_annotators()
+    with open(os.path.join(REF_ANN, "consensus_annotations.pkl"), "rb") as fh:
+        ref = pickle.load(fh)
+    mine = create_merged_or_consensus_benchmark(anns, "consensus", 0.5)
+    assert set(mine) == set(ref)
+    for img in ref:
+        a = sorted((tuple(sorted(d.items())), c) for d, c in ref[img])
+        b = sorted((tuple(sorted(d.items())), c) for d, c in mine[img])
+        assert a == b, img
+    assert sum(len(v) for v in mine.values()) == 520
+
+
+def test_interrater_precision_published_bounds():
+    """The reference's own sanity envelopes (``unit_test.py:207-225``),
+    recomputed from the REAL annotator pickles with OUR merry-go-round
+    implementation (the reference's precision_dict pickle is an LFS stub;
+    measured values: Cored@.5=0.6405, CAA@.5=0.5093, Cored@.1=0.6850,
+    CAA@.1=0.6395)."""
+    from amyloid_yolo_tpu.analysis.prospective import (
+        get_precisions_of_annotators_relative_to_each_other,
+    )
+
+    anns = load_annotators()
+    pd_ = get_precisions_of_annotators_relative_to_each_other(
+        anns, iou_thresholds=[0.1, 0.5])
+    names = sorted(anns)
+    mean = lambda cls, t: np.mean(
+        [pd_[cls][a1][a2][t] for a1 in names for a2 in names if a1 != a2])
+    assert 0.6 < mean("Cored", 0.5) < 0.7
+    assert 0.5 < mean("CAA", 0.5) < 0.6
+    assert 0.6 < mean("Cored", 0.1) < 0.7
+    assert 0.6 < mean("CAA", 0.1) < 0.65
+
+
+def test_consensus_subset_of_annotators_real_data():
+    """``unit_test.py:191-205`` on the real artifacts: every consensus entry
+    appears verbatim in some annotator's set."""
+    from amyloid_yolo_tpu.analysis.data_checks import (
+        check_consensus_subset_of_annotators,
+    )
+
+    anns = load_annotators()
+    with open(os.path.join(REF_ANN, "consensus_annotations.pkl"), "rb") as fh:
+        ref = pickle.load(fh)
+    check_consensus_subset_of_annotators(ref, anns)
+
+
+def test_phase1_split_disjoint_real_data():
+    """``unit_test.py:35-54`` on the real original_data lists."""
+    from amyloid_yolo_tpu.analysis.data_checks import check_train_valid_disjoint
+
+    base = "/root/reference/original_data"
+    if not os.path.isdir(base):
+        pytest.skip("original_data not present")
+    check_train_valid_disjoint(os.path.join(base, "train.txt"),
+                               os.path.join(base, "valid.txt"))
