@@ -131,13 +131,22 @@ class CAAFilter:
             lambda p, x: classifier.predict_probs(p, x)
         )
 
+    #: crop batches are padded up to these sizes so the classifier compiles
+    #: a handful of programs instead of one per distinct detection count
+    CROP_BUCKETS = (8, 32, 128)
+
     def predict_crops(self, crops_u8: np.ndarray) -> np.ndarray:
         """(K, 256, 256, 3) uint8 RGB → (K, 3) sigmoid probabilities."""
         import jax.numpy as jnp
 
+        k = crops_u8.shape[0]
+        bucket = next((b for b in self.CROP_BUCKETS if b >= k), None)
+        if bucket is not None and bucket != k:
+            pad = np.zeros((bucket - k,) + crops_u8.shape[1:], crops_u8.dtype)
+            crops_u8 = np.concatenate([crops_u8, pad], axis=0)
         x = jnp.asarray(crops_u8).astype(jnp.float32) / 255.0
         x = (x - self.mean[None, None, None, :]) / self.std[None, None, None, :]
-        return np.asarray(self._predict(self.params, x))
+        return np.asarray(self._predict(self.params, x))[:k]
 
     def __call__(self, img: np.ndarray, detections: np.ndarray) -> np.ndarray:
         """Filter (N, 7) detections against the 1536² RGB uint8 ``img``."""
@@ -156,9 +165,21 @@ class CAAFilter:
         return np.asarray(keep, dets.dtype) if keep else np.zeros((0, 7), dets.dtype)
 
     def filter_path(self, img_path: str, detections: np.ndarray) -> np.ndarray:
-        from .io.datasets import load_image_rgb
+        if len(np.asarray(detections)) == 0:
+            return np.asarray(detections)
+        img = None
+        if img_path.lower().endswith((".jpg", ".jpeg")):
+            try:  # native decoder when built (faster than PIL)
+                from .io.native import decode_one
 
-        return self(load_image_rgb(img_path), detections)
+                img = decode_one(img_path, 1536, 1536)
+            except Exception:
+                img = None
+        if img is None:
+            from .io.datasets import load_image_rgb
+
+            img = load_image_rgb(img_path)
+        return self(img, detections)
 
 
 def _crop(img: np.ndarray, row: np.ndarray) -> np.ndarray:
