@@ -47,6 +47,8 @@ def cmd_train(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         augment=not args.no_augment,
         max_batches_per_epoch=args.max_batches_per_epoch,
+        grad_clip_norm=args.grad_clip_norm,
+        learning_rate=args.learning_rate,
     )
     Trainer(cfg).train()
     return 0
@@ -232,6 +234,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     t.add_argument("--no_augment", action="store_true")
     t.add_argument("--max_batches_per_epoch", type=int, default=None)
+    t.add_argument("--grad_clip_norm", type=float, default=None)
+    t.add_argument("--learning_rate", type=float, default=1e-3)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")

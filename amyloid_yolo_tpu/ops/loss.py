@@ -40,10 +40,19 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    # torch.nn.BCELoss clamps log at -100
-    log_p = jnp.clip(jnp.log(p), -100.0, None)
-    log_1p = jnp.clip(jnp.log1p(-p), -100.0, None)
-    return -(t * log_p + (1.0 - t) * log_1p)
+    """Binary cross-entropy on probabilities, gradient-safe at saturation.
+
+    torch.nn.BCELoss clamps the log at -100 and bounds the backward by
+    clamping the ``p(1-p)`` denominator.  Clipping only the log in JAX
+    leaves a ``0 * inf = NaN`` in the gradient when a sigmoid saturates to
+    exactly 0/1 in f32 (|logit| ≳ 17) — which happens at random init on the
+    full-size model and killed from-scratch training.  Clamping the
+    *probability* bounds both forward and backward; the forward differs
+    from torch only in the ultra-saturated region (loss capped at ~27.6 vs
+    torch's 100 per element), far outside any parity-tested regime.
+    """
+    p = jnp.clip(p, 1e-12, 1.0 - 1e-7)
+    return -(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
 
 
 def yolo_head_loss(

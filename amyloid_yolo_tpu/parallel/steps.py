@@ -72,10 +72,16 @@ def _merge(train, stats):
     return out
 
 
-def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+def make_optimizer(learning_rate: float = 1e-3,
+                   grad_clip_norm: float | None = None) -> optax.GradientTransformation:
     """torch.optim.Adam defaults (``train.py:81``): lr 1e-3, betas (0.9,
-    0.999), eps 1e-8."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    0.999), eps 1e-8.  ``grad_clip_norm`` adds global-norm clipping — the
+    reference never clips (it fine-tunes pretrained weights); recommended
+    for from-scratch training."""
+    adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if grad_clip_norm is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
 
 
 def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:

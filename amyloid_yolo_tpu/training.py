@@ -51,6 +51,7 @@ class TrainConfig:
     checkpoint_interval: int = 1
     evaluation_interval: int = 1
     learning_rate: float = 1e-3
+    grad_clip_norm: Optional[float] = None  # None = reference behavior
     num_classes: int = 2
     logdir: str = "logs"
     seed: int = 0
@@ -72,7 +73,8 @@ class Trainer:
         params = darknet.init_params(jax.random.PRNGKey(cfg.seed), self.spec)
         if cfg.pretrained_weights:
             params = weights_io.load_pretrained(self.spec, cfg.pretrained_weights, params)
-        self.optimizer = steps_mod.make_optimizer(cfg.learning_rate)
+        self.optimizer = steps_mod.make_optimizer(cfg.learning_rate,
+                                                  cfg.grad_clip_norm)
         self.state = steps_mod.init_train_state(params, self.optimizer)
         self.step_fn = steps_mod.make_train_step(
             self.spec, self.optimizer, augment=cfg.augment
