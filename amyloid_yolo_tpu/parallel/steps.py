@@ -17,7 +17,7 @@ single-device bit-for-bit-ish (f32 tolerances).
 
 Gradient accumulation (``train.py:116-119``: optimizer step every N batches
 on summed gradients) is provided for parity/experiments via
-``make_accum_train_step`` — summed, not averaged, exactly like consecutive
+``make_grad_step`` — summed, not averaged, exactly like consecutive
 ``loss.backward()`` calls.
 """
 

@@ -16,10 +16,9 @@ orbax checkpoints carrying optimizer state (the reference drops it).
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -162,9 +161,15 @@ class Trainer:
 
     def load_checkpoint(self, path: str):
         tree = weights_io.load_checkpoint(path)
+        # orbax restores optax state as plain dicts/lists; rebuild the
+        # optimizer's pytree structure (namedtuples) around the restored
+        # leaves or the first post-resume update dies on attribute access
+        ref_opt = self.optimizer.init(steps_mod._split(tree["params"])[0])
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(ref_opt), jax.tree.leaves(tree["opt_state"]))
         self.state = steps_mod.TrainState(
             params=tree["params"],
-            opt_state=tree["opt_state"],
+            opt_state=opt_state,
             step=jnp.asarray(tree["step"]),
             seen=jnp.asarray(tree["seen"]),
         )

@@ -70,3 +70,8 @@ def test_trainer_smoke(tiny_dataset, tmp_path):
             np.testing.assert_allclose(
                 np.asarray(tr2.state.params[k][kk]),
                 np.asarray(state.params[k][kk]), rtol=1e-6)
+    # the restored state must be STEPPABLE (orbax flattens optax
+    # namedtuples; a structure mismatch only explodes on the next update)
+    state2 = tr2.train()
+    assert int(state2.step) == 2
+    assert np.isfinite(np.asarray(state2.params["conv_0"]["w"])).all()
