@@ -47,7 +47,14 @@ class Detector:
         here so imported reference weights work directly.
       conf_thres / nms_thres: reference operating point is 0.8 / 0.4
         (``README.md:39``).
-      capacity: fixed per-tile detection budget after NMS.
+      capacity: fixed per-tile detection budget after NMS.  Unlike the
+        reference's uncapped Python loop, at most ``capacity`` detections
+        are returned per tile; and only the top ``nms_pool`` conf-passing
+        candidates participate in suppression / the confidence-weighted
+        merge.  At the 0.8 operating point real tiles produce far fewer
+        than 64 conf-passing boxes, so the default pool is exact in
+        practice; raise ``nms_pool`` (e.g. 256) for low-conf sweeps.
+      nms_pool: pre-NMS candidate pool size (default = ``capacity``).
       compute_dtype: bf16 by default — the MXU-native inference dtype.
     """
 
@@ -61,6 +68,7 @@ class Detector:
         model_size: int = 416,
         tile_size: int = 1536,
         capacity: int = 64,
+        nms_pool: Optional[int] = None,
         compute_dtype=jnp.bfloat16,
         fold_bn: bool = True,
         host_resize: bool = False,
@@ -76,6 +84,7 @@ class Detector:
         self.model_size = model_size
         self.tile_size = tile_size
         self.capacity = capacity
+        self.nms_pool = nms_pool or capacity
         self.compute_dtype = compute_dtype
         # host_resize: the nearest resize is a pure index gather, so it can
         # run host-side on uint8 before transfer with bit-identical results —
@@ -99,6 +108,7 @@ class Detector:
         model_size = self.model_size
         tile_size = self.tile_size
         conf, nmst, cap = self.conf_thres, self.nms_thres, self.capacity
+        pool = self.nms_pool
         dtype = self.compute_dtype
         fold = self.fold_bn
 
@@ -115,7 +125,8 @@ class Detector:
             else:
                 maps, _ = darknet.apply(params, spec, x, compute_dtype=dtype)
             pred = heads.decode_all(maps, spec, model_size)
-            dets, valid = nms_ops.non_max_suppression(pred, conf, nmst, cap)
+            dets, valid = nms_ops.non_max_suppression(pred, conf, nmst, cap,
+                                                      pool=pool)
             dets = rescale_boxes_jnp(dets, model_size, tile_size, tile_size)
             return dets, valid
 

@@ -66,9 +66,13 @@ def get_tps(predictions: Sequence[Sequence[float]], labels: Sequence[Sequence[fl
     ``[x1, y1, x2, y2, class]``; class is the last index of each.  Sorted by
     confidence descending; under the Pascal-VOC-2012 scheme each label can
     justify at most one TP.
+
+    Tie order quirk preserved: the reference sorts ascending then reverses
+    (``core.py:543-546``), so equal-confidence predictions are visited in
+    *reversed* original order — the later row gets first claim on a label.
     """
-    order = sorted(range(len(predictions)), key=lambda k: predictions[k][4],
-                   reverse=True)
+    order = sorted(range(len(predictions)), key=lambda k: predictions[k][4])
+    order.reverse()
     tp_labels: List = []
     flag_by_index: Dict[int, int] = {}
     for oi in order:

@@ -101,10 +101,11 @@ def _leaky(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _maxpool(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
-    # kernel-2/stride-1 pools get the reference's (0,1,0,1) zero pad
-    # (models.py:50-51); symmetric (k-1)//2 padding otherwise.
+    # kernel-2/stride-1 pools get the reference's (0,1,0,1) ZERO pad
+    # (models.py:50-51, nn.ZeroPad2d) — edge maxima clamp at 0 for
+    # all-negative neighborhoods; symmetric (k-1)//2 padding otherwise.
     if kernel == 2 and stride == 1:
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=-jnp.inf)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=0.0)
         pads = ((0, 0), (0, 0))
     else:
         p = (kernel - 1) // 2

@@ -37,18 +37,27 @@ import numpy as np
 from .boxes import bbox_iou, bbox_iou_np, xywh2xyxy, xywh2xyxy_np
 
 
-@functools.partial(jax.jit, static_argnames=("conf_thres", "nms_thres", "capacity"))
+@functools.partial(jax.jit, static_argnames=("conf_thres", "nms_thres",
+                                              "capacity", "pool"))
 def non_max_suppression(
     prediction: jnp.ndarray,
     conf_thres: float = 0.5,
     nms_thres: float = 0.4,
     capacity: int = 256,
+    pool: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched merging NMS.
 
     Args:
       prediction: (B, N, 5+C) decoded rows ``(cx, cy, w, h, conf, cls...)``.
-      capacity: max detections considered/returned per image (fixed shape).
+      capacity: max detections *returned* per image (fixed shape).
+      pool: candidate rows that participate in suppression/merging
+        (default = ``capacity``).  The reference loop is uncapped: when more
+        than ``capacity`` boxes pass ``conf_thres``, dropped low-score boxes
+        would no longer suppress or contribute to the confidence-weighted
+        merge.  A ``pool`` larger than ``capacity`` keeps those boxes in the
+        game while the returned shape stays (B, capacity, 7) — keepers past
+        ``capacity`` are truncated (score order, lowest first to go).
 
     Returns:
       ``(dets, valid)`` with ``dets`` (B, capacity, 7) rows
@@ -56,11 +65,12 @@ def non_max_suppression(
       (B, capacity) bool — rows are keepers in score order.
     """
     return jax.vmap(
-        lambda p: _nms_single(p, conf_thres, nms_thres, capacity)
+        lambda p: _nms_single(p, conf_thres, nms_thres, capacity,
+                              pool or capacity)
     )(prediction)
 
 
-def _nms_single(pred, conf_thres, nms_thres, capacity):
+def _nms_single(pred, conf_thres, nms_thres, capacity, pool):
     """Greedy merging NMS in parallel form.
 
     The greedy loop's *decisions* depend only on the original (pre-merge)
@@ -81,7 +91,7 @@ def _nms_single(pred, conf_thres, nms_thres, capacity):
 
     passed = conf >= conf_thres
     score = jnp.where(passed, conf * cls_conf, -jnp.inf)
-    k = min(capacity, score.shape[0])
+    k = min(pool, score.shape[0])
     top_scores, top_idx = jax.lax.top_k(score, k)
 
     det = jnp.concatenate(
@@ -93,13 +103,13 @@ def _nms_single(pred, conf_thres, nms_thres, capacity):
         ],
         axis=-1,
     )  # (k, 7)
-    if k < capacity:
-        det = jnp.pad(det, ((0, capacity - k), (0, 0)))
-        top_scores = jnp.pad(top_scores, (0, capacity - k), constant_values=-jnp.inf)
+    if k < pool:
+        det = jnp.pad(det, ((0, pool - k), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pool - k), constant_values=-jnp.inf)
     active0 = top_scores > -jnp.inf
 
     # potential-suppression matrix over score order (diagonal included)
-    ious = bbox_iou(det[:, None, :4], det[None, :, :4])  # (K, K)
+    ious = bbox_iou(det[:, None, :4], det[None, :, :4])  # (P, P)
     m = (ious > nms_thres) & (det[:, None, 6] == det[None, :, 6])
     m = m & active0[:, None] & active0[None, :]
 
@@ -108,23 +118,30 @@ def _nms_single(pred, conf_thres, nms_thres, capacity):
         suppressed = suppressed | (m[i] & is_keep)
         return suppressed, is_keep
 
-    _, keep = jax.lax.scan(body, jnp.zeros((capacity,), jnp.bool_),
-                           jnp.arange(capacity))
+    _, keep = jax.lax.scan(body, jnp.zeros((pool,), jnp.bool_),
+                           jnp.arange(pool))
 
     # cluster owner of each row = first keeper whose row suppresses it
-    keeper_m = keep[:, None] & m                       # (K, K)
+    keeper_m = keep[:, None] & m                       # (P, P)
     owner = jnp.argmax(keeper_m, axis=0)               # first-True index
     member = jnp.any(keeper_m, axis=0) & active0
 
     w = jnp.where(member, det[:, 4], 0.0)
-    wsum = jax.ops.segment_sum(w, owner, num_segments=capacity)
+    wsum = jax.ops.segment_sum(w, owner, num_segments=pool)
     wbox = jax.ops.segment_sum(w[:, None] * det[:, :4], owner,
-                               num_segments=capacity)
+                               num_segments=pool)
     merged = wbox / jnp.maximum(wsum, 1e-30)[:, None]
 
     out = jnp.concatenate([jnp.where(keep[:, None], merged, 0.0),
                            jnp.where(keep[:, None], det[:, 4:], 0.0)], axis=-1)
-    return out, keep
+    if pool == capacity:
+        return out, keep
+    # compact keepers (already in score order) into the first `capacity` rows
+    dest = jnp.where(keep, jnp.cumsum(keep) - 1, pool)  # pool = out of range
+    compact = jnp.zeros((capacity, 7), out.dtype).at[dest].set(out, mode="drop")
+    n_keep = jnp.sum(keep)
+    valid = jnp.arange(capacity) < n_keep
+    return compact, valid
 
 
 def non_max_suppression_np(

@@ -27,12 +27,9 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
-    """Shard the leading (batch) dimension across the dp axis."""
-    return NamedSharding(mesh, P(axis))
-
-def flat_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
-    """Shard a flat (rows) dimension — e.g. padded target rows laid out as
-    (B * cap, 6) with per-image blocks, which divide evenly across dp."""
+    """Shard the leading dimension across the dp axis — used both for
+    (B, ...) image batches and for flat (B*cap, 6) padded target rows, whose
+    per-image blocks divide evenly across dp."""
     return NamedSharding(mesh, P(axis))
 
 
@@ -40,4 +37,4 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-__all__ = ["make_mesh", "batch_sharding", "flat_sharding", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "replicated"]

@@ -48,6 +48,23 @@ def test_get_tps_no_double_dipping():
     assert domain.get_tps(preds, labels, 0.5) == [0, 1]
 
 
+def test_get_tps_tie_order_reference_quirk():
+    """Equal-confidence ties: the reference sorts ascending then reverses
+    (core.py:543-546), so ties are visited in REVERSED original order — the
+    later prediction claims the label."""
+    preds = [[100, 100, 200, 200, 0.9, 0], [100, 100, 200, 200, 0.9, 0]]
+    labels = [[100, 100, 200, 200, 0]]
+    assert domain.get_tps(preds, labels, 0.5) == [0, 1]
+    # three-way tie: last one wins the single label
+    preds3 = preds + [[100, 100, 200, 200, 0.9, 0]]
+    assert domain.get_tps(preds3, labels, 0.5) == [0, 0, 1]
+    # ties on distinct labels: both TP regardless of visit order (labels
+    # must differ by value — value-identical labels collide in the
+    # reference's `label in TP_labels` membership test, reproduced here)
+    labels2 = labels + [[101, 101, 201, 201, 0]]
+    assert domain.get_tps(preds, labels2, 0.5) == [1, 1]
+
+
 # -- classifier parity vs torch ---------------------------------------------
 
 def build_torch_net():

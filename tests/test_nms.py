@@ -120,6 +120,38 @@ def test_merge_weighted_average(rng):
     assert ragged[0][0, 4] == np.float32(0.9)
 
 
+def test_pool_larger_than_capacity(rng):
+    """With pool > capacity, boxes beyond the capacity cut still participate
+    in suppression and the weighted merge; output is the uncapped reference
+    result truncated to `capacity` keepers (score order)."""
+    for trial in range(4):
+        r = np.random.RandomState(100 + trial)
+        pred = random_preds(r, b=2, n=120)
+        pred[..., 4] = 0.6 + 0.4 * r.rand(2, 120)  # all pass conf 0.5
+        pred[..., 0:2] = r.rand(2, 120, 2) * 150   # crowded -> chained merges
+        pred[..., 2:4] = r.rand(2, 120, 2) * 80 + 30
+        dets, valid = non_max_suppression(jnp.asarray(pred), 0.5, 0.4,
+                                          capacity=16, pool=120)
+        ragged = dense_to_ragged(dets, valid)
+        ref = non_max_suppression_np(pred, 0.5, 0.4)
+        for a, b in zip(ragged, ref):
+            assert b is not None and a is not None
+            b = b[:16]
+            assert a.shape == b.shape, f"trial {trial}"
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                       err_msg=f"trial {trial}")
+
+
+def test_pool_default_equals_capacity_path(rng):
+    """pool=None keeps the original single-buffer path bit-identical."""
+    pred = random_preds(rng, b=2, n=60)
+    a, va = non_max_suppression(jnp.asarray(pred), 0.5, 0.4, capacity=64)
+    b, vb = non_max_suppression(jnp.asarray(pred), 0.5, 0.4, capacity=64,
+                                pool=64)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_different_classes_not_merged():
     pred = np.zeros((1, 2, 7), np.float32)
     pred[0, 0] = [100, 100, 40, 40, 0.9, 0.1, 0.9]  # class 1
