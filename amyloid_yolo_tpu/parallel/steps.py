@@ -16,9 +16,10 @@ global batch size (sync-BN), not per-replica BN; tests assert DP ≡
 single-device bit-for-bit-ish (f32 tolerances).
 
 Gradient accumulation (``train.py:116-119``: optimizer step every N batches
-on summed gradients) is provided for parity/experiments via
-``make_grad_step`` — summed, not averaged, exactly like consecutive
-``loss.backward()`` calls.
+on summed gradients — summed, not averaged, exactly like consecutive
+``loss.backward()`` calls) is a first-class step via
+``make_accum_train_step``; ``make_grad_step`` exposes the bare gradient for
+the DP ≡ accumulation equivalence tests.
 """
 
 from __future__ import annotations
@@ -73,12 +74,34 @@ def _merge(train, stats):
 
 
 def make_optimizer(learning_rate: float = 1e-3,
-                   grad_clip_norm: float | None = None) -> optax.GradientTransformation:
+                   grad_clip_norm: float | None = None,
+                   burn_in: int = 0,
+                   burn_in_power: float = 4.0) -> optax.GradientTransformation:
     """torch.optim.Adam defaults (``train.py:81``): lr 1e-3, betas (0.9,
-    0.999), eps 1e-8.  ``grad_clip_norm`` adds global-norm clipping — the
-    reference never clips (it fine-tunes pretrained weights); recommended
-    for from-scratch training."""
-    adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    0.999), eps 1e-8.
+
+    ``grad_clip_norm`` adds global-norm clipping — the reference never clips
+    (it fine-tunes pretrained weights); recommended for from-scratch
+    training.
+
+    ``burn_in > 0`` enables darknet's LR burn-in, ``lr * (step/burn_in)^4``
+    until ``burn_in`` optimizer steps: the cfg declares ``burn_in=1000``
+    (``config/yolov3-custom.cfg:17``) but the reference's torch trainer
+    parses and IGNORES it (plain Adam, ``train.py:81``) — opt-in here,
+    default off for parity.  With gradient accumulation the count advances
+    per optimizer apply, like darknet's per-step seen counter.
+    """
+    if burn_in and burn_in > 0:
+        base = float(learning_rate)
+        bi = float(burn_in)
+
+        def schedule(step):
+            frac = jnp.minimum((jnp.asarray(step, jnp.float32) + 1.0) / bi, 1.0)
+            return base * frac ** burn_in_power
+
+        adam = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     if grad_clip_norm is None:
         return adam
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
@@ -150,6 +173,102 @@ def make_train_step(
     return step
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AccumState:
+    """Train state + gradient-accumulation buffer (summed grads, like
+    consecutive torch ``loss.backward()`` calls)."""
+    inner: TrainState
+    grad_sum: Any        # same pytree as the trainable params
+    micro: jnp.ndarray   # global micro-batch counter (reference batches_done)
+
+
+def init_accum_state(state: TrainState) -> AccumState:
+    train, _ = _split(state.params)
+    return AccumState(
+        inner=state,
+        grad_sum=jax.tree.map(jnp.zeros_like, train),
+        micro=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_accum_train_step(
+    spec: GraphSpec,
+    optimizer: optax.GradientTransformation,
+    accum_steps: int,
+    *,
+    augment: bool = True,
+    compute_dtype=jnp.float32,
+):
+    """Train step with the reference's gradient-accumulation schedule.
+
+    ``train.py:113-119``: every batch runs forward/backward (grads sum into
+    the buffer, BN running stats and ``seen`` update); the optimizer applies
+    the summed gradients when ``batches_done % gradient_accumulations == 0``
+    — i.e. batch 0 steps alone, then batches 1..N sum and apply at batch N,
+    and the buffer carries across epoch boundaries exactly like torch's
+    un-zeroed ``.grad``.  One jitted program; the apply is a ``lax.cond``.
+    """
+
+    def loss_fn(train_params, stats, images, targets, target_mask, img_size):
+        params = _merge(train_params, stats)
+        maps, new_stats = darknet.apply(
+            params, spec, images, train=True, compute_dtype=compute_dtype
+        )
+        total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
+        return total, (new_stats, per_head)
+
+    @functools.partial(jax.jit, static_argnames=("img_size",), donate_argnums=(0,))
+    def step(astate: AccumState, images_u8, targets, target_mask, rng, img_size: int):
+        state = astate.inner
+        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if augment:
+            images, targets, target_mask = augment_batch(
+                rng, images, targets, target_mask
+            )
+        train_params, stats = _split(state.params)
+        (total, (new_stats, per_head)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(train_params, stats, images, targets, target_mask, img_size)
+
+        grad_sum = jax.tree.map(jnp.add, astate.grad_sum, grads)
+        do_apply = (astate.micro % accum_steps) == 0
+
+        def apply_fn(op):
+            g, opt_state, tp = op
+            updates, new_opt = optimizer.update(g, opt_state, tp)
+            new_tp = optax.apply_updates(tp, updates)
+            return new_tp, new_opt, jax.tree.map(jnp.zeros_like, g)
+
+        def skip_fn(op):
+            g, opt_state, tp = op
+            return tp, opt_state, g
+
+        new_train, new_opt, grad_sum = jax.lax.cond(
+            do_apply, apply_fn, skip_fn, (grad_sum, state.opt_state, train_params)
+        )
+
+        merged = _merge(new_train, stats)
+        for k, s in new_stats.items():  # BN running stats update every batch
+            merged[k]["mean"] = s["mean"]
+            merged[k]["var"] = s["var"]
+
+        metrics = {"loss": total, "applied": do_apply.astype(jnp.float32)}
+        for hi, m in enumerate(per_head):
+            for name, v in m.items():
+                metrics[f"head{hi}/{name}"] = v
+        new_state = TrainState(
+            params=merged,
+            opt_state=new_opt,
+            step=state.step + 1,
+            seen=state.seen + images_u8.shape[0],
+        )
+        return AccumState(inner=new_state, grad_sum=grad_sum,
+                          micro=astate.micro + 1), metrics
+
+    return step
+
+
 def make_grad_step(spec: GraphSpec, *, augment: bool = False,
                    compute_dtype=jnp.float32):
     """Gradient-only step (no optimizer) — used by the grad-accumulation
@@ -209,6 +328,7 @@ def shard_train_step(step_fn, mesh):
 
 
 __all__ = [
-    "TrainState", "make_optimizer", "init_train_state", "make_train_step",
+    "TrainState", "AccumState", "make_optimizer", "init_train_state",
+    "init_accum_state", "make_train_step", "make_accum_train_step",
     "make_grad_step", "make_eval_forward", "shard_train_step",
 ]

@@ -9,9 +9,11 @@ Behavioral parity (``/root/reference/train.py:27-210``):
 * ``seen`` image counting for darknet-format weight export.
 
 TPU-native differences: one jitted step (resize+augment+loss+Adam fused,
-no per-batch host sync); optional data parallelism over a mesh instead of
-gradient accumulation (numerically equivalent — see tests/test_parallel);
-orbax checkpoints carrying optimizer state (the reference drops it).
+no per-batch host sync); gradient accumulation runs as a ``lax.cond``-gated
+apply inside that same jitted step; data parallelism over a mesh is the
+scale-out alternative (numerically equivalent to accumulation — see
+tests/test_parallel); orbax checkpoints carry optimizer state (the
+reference drops it).
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ class TrainConfig:
     evaluation_interval: int = 1
     learning_rate: float = 1e-3
     grad_clip_norm: Optional[float] = None  # None = reference behavior
+    burn_in: int = 0  # darknet LR warmup steps; 0 = reference (ignored cfg)
     num_classes: int = 2
     logdir: str = "logs"
     seed: int = 0
@@ -73,11 +76,20 @@ class Trainer:
         if cfg.pretrained_weights:
             params = weights_io.load_pretrained(self.spec, cfg.pretrained_weights, params)
         self.optimizer = steps_mod.make_optimizer(cfg.learning_rate,
-                                                  cfg.grad_clip_norm)
+                                                  cfg.grad_clip_norm,
+                                                  burn_in=cfg.burn_in)
         self.state = steps_mod.init_train_state(params, self.optimizer)
-        self.step_fn = steps_mod.make_train_step(
-            self.spec, self.optimizer, augment=cfg.augment
-        )
+        self.accum = max(1, int(cfg.gradient_accumulations or 1))
+        if self.accum > 1:
+            # reference default recipe: batch 8 x accumulation 2
+            # (train.py:31,116-119) — summed grads, step every N batches
+            self.step_fn = steps_mod.make_accum_train_step(
+                self.spec, self.optimizer, self.accum, augment=cfg.augment
+            )
+        else:
+            self.step_fn = steps_mod.make_train_step(
+                self.spec, self.optimizer, augment=cfg.augment
+            )
         if cfg.data_parallel and cfg.data_parallel > 1:
             mesh = make_mesh(cfg.data_parallel)
             self.step_fn = steps_mod.shard_train_step(self.step_fn, mesh)
@@ -92,20 +104,26 @@ class Trainer:
             augment=cfg.augment, seed=cfg.seed,
         )
         rng = jax.random.PRNGKey(cfg.seed + 1)
+        # grad-accumulation buffer lives only for this run (the reference
+        # never checkpoints .grad either); the micro-batch counter plays
+        # the role of train.py's batches_done
+        run_state = (steps_mod.init_accum_state(self.state)
+                     if self.accum > 1 else self.state)
         for epoch in range(cfg.epochs):
             t0 = time.time()
             for bi, batch in enumerate(dataset.iter_epoch(cfg.batch_size)):
                 if cfg.max_batches_per_epoch and bi >= cfg.max_batches_per_epoch:
                     break
                 rng, sub = jax.random.split(rng)
-                self.state, metrics = self.step_fn(
-                    self.state,
+                run_state, metrics = self.step_fn(
+                    run_state,
                     jnp.asarray(batch["images"]),
                     jnp.asarray(batch["targets"]),
                     jnp.asarray(batch["target_mask"]),
                     sub,
                     int(batch["img_size"]),
                 )
+                self.state = run_state.inner if self.accum > 1 else run_state
                 if bi % 10 == 0:  # fetch metrics only when logging (no per-step sync)
                     host = {k: float(v) for k, v in metrics.items()}
                     host["epoch"] = epoch
