@@ -35,8 +35,9 @@ import numpy as np
 from ..detectors import Detector
 from ..domain import CAAFilter, draw_detections
 from ..io.datasets import ImageFolder, load_image_rgb
-from ..io.tiles import iter_wsi_tile_dirs
-from ..ops.merge import merge_detections
+from ..io.tiles import iter_wsi_tile_dirs, tile_origin
+from ..ops.boxes import rescale_from_tile_frame
+from ..ops.merge import merge_detections, merge_wsi_detections
 
 
 def get_stain(string: str) -> str:
@@ -63,45 +64,82 @@ def calculate_plaque_counts_per_wsi(
     save_images: bool = False,
     output_dir: str = "output",
     wsi_whitelist: Optional[Sequence[str]] = None,
+    cross_tile_merge: bool = False,
 ) -> Dict[str, Dict[str, int]]:
     """Sweep every tile of every WSI under ``directory``.
 
     Saves ``<prefix>WSI_plaque_counts_dictionary.pkl`` and
     ``<prefix>1536_plaque_counts_dictionary.pkl`` with the reference's
     exact dict shapes (``validation.py:71-76,173-174``).
+
+    ``cross_tile_merge=True`` additionally merges detections ACROSS
+    adjacent tile boundaries (new capability — the reference merges only
+    within a tile, ``validation.py:127-129``, double-counting plaques that
+    straddle a boundary).  Per-tile merge + CAA filter run first with exact
+    reference semantics; then :func:`~amyloid_yolo_tpu.ops.merge.
+    merge_wsi_detections` unifies straddlers in slide space, and each
+    merged box counts once, toward the tile containing its center.
     """
     os.makedirs(pickles_dir, exist_ok=True)
     wsi_names = sorted(os.listdir(directory))
     wsi_counts: Dict[str, Dict[str, int]] = {w: {"Cored": 0, "CAA": 0} for w in wsi_names}
     tile_counts: Dict[str, Dict[str, Dict[str, int]]] = {w: {} for w in wsi_names}
 
+    def save_tile_render(path, dets):
+        os.makedirs(output_dir, exist_ok=True)
+        img = load_image_rgb(path)
+        out = draw_detections(img, dets, classes)
+        from PIL import Image
+
+        out_name = path.replace("/", "_").replace(".jpg", "") + ".png"
+        Image.fromarray(out).save(os.path.join(output_dir, out_name))
+
+    # group row-subdirectories by WSI so cross-tile merging sees every
+    # tile of a slide at once
+    dirs_by_wsi: Dict[str, List[str]] = {}
     for wsi, tile_dir in iter_wsi_tile_dirs(directory):
+        dirs_by_wsi.setdefault(wsi, []).append(tile_dir)
+
+    for wsi, tile_dirs in dirs_by_wsi.items():
         if wsi_whitelist is not None and wsi not in wsi_whitelist:
             continue
-        folder = ImageFolder(tile_dir, tile_size=detector.tile_size)
-        for paths, batch, n_valid in folder.iter_batches(batch_size):
-            ragged = detector.detect_batch_ragged(batch)
-            for path, dets in list(zip(paths, ragged))[:n_valid]:
-                tile_counts[wsi].setdefault(path, {"Cored": 0, "CAA": 0})
-                if dets is None:
-                    continue
-                dets = merge_detections(dets)
-                if caa_filter is not None:
-                    dets = caa_filter.filter_path(path, dets)
-                if len(dets) == 0:
-                    continue
+        dets_by_path: Dict[str, Optional[np.ndarray]] = {}
+        for tile_dir in tile_dirs:
+            folder = ImageFolder(tile_dir, tile_size=detector.tile_size)
+            for paths, batch, n_valid in folder.iter_batches(batch_size):
+                ragged = detector.detect_batch_ragged(batch)
+                for path, dets in list(zip(paths, ragged))[:n_valid]:
+                    tile_counts[wsi].setdefault(path, {"Cored": 0, "CAA": 0})
+                    if dets is None:
+                        continue
+                    orig = folder.orig_shapes.get(path)
+                    if orig is not None and hasattr(detector, "tile_size"):
+                        dets = rescale_from_tile_frame(
+                            dets, detector.tile_size, orig)
+                    dets = merge_detections(dets)
+                    if caa_filter is not None:
+                        dets = caa_filter.filter_path(path, dets)
+                    if len(dets) == 0:
+                        continue
+                    dets_by_path[path] = dets
+                    if save_images:
+                        save_tile_render(path, dets)
+
+        if cross_tile_merge:
+            origins = {p: tile_origin(p, detector.tile_size)
+                       for p in dets_by_path}
+            rows, owners = merge_wsi_detections(
+                dets_by_path, origins, tile_size=detector.tile_size)
+            for row, owner in zip(rows, owners):
+                name = classes[int(row[6])]
+                wsi_counts[wsi][name] += 1
+                tile_counts[wsi][owner][name] += 1
+        else:
+            for path, dets in dets_by_path.items():
                 for row in dets:
                     name = classes[int(row[6])]
                     wsi_counts[wsi][name] += 1
                     tile_counts[wsi][path][name] += 1
-                if save_images:
-                    os.makedirs(output_dir, exist_ok=True)
-                    img = load_image_rgb(path)
-                    out = draw_detections(img, dets, classes)
-                    from PIL import Image
-
-                    out_name = path.replace("/", "_").replace(".jpg", "") + ".png"
-                    Image.fromarray(out).save(os.path.join(output_dir, out_name))
 
     with open(os.path.join(pickles_dir, prefix + "WSI_plaque_counts_dictionary.pkl"), "wb") as fh:
         pickle.dump(wsi_counts, fh)
@@ -231,7 +269,15 @@ def speed_check(
     tag: str = "tpu",
 ) -> Dict:
     """Wall-clock sweep: model time vs down time, avg per WSI / per tile
-    (``speedCheck``, ``validation.py:282-366``)."""
+    (``speedCheck``, ``validation.py:282-366``).
+
+    Down time counts dataset construction AND per-batch load gaps — the
+    time this thread blocks waiting on the decode prefetcher — mirroring
+    the reference's isolation of DataLoader stalls
+    (``validation.py:300-340``).  Because decode overlaps device compute
+    here, a small down time means the prefetcher kept up, not that decoding
+    was free.
+    """
     import jax
 
     hostname = socket.gethostname()
@@ -245,8 +291,15 @@ def speed_check(
         for wsi, tile_dir in wsi_dirs:
             t1 = time.time()
             folder = ImageFolder(tile_dir, tile_size=detector.tile_size)
+            it = folder.iter_batches(bs)
             down_time += time.time() - t1
-            for paths, batch, n_valid in folder.iter_batches(bs):
+            while True:
+                t1 = time.time()
+                item = next(it, None)
+                down_time += time.time() - t1   # blocked on host decode
+                if item is None:
+                    break
+                paths, batch, n_valid = item
                 ragged = detector.detect_batch_ragged(batch)
                 if include_merge_and_filter:
                     for path, dets in list(zip(paths, ragged))[:n_valid]:

@@ -49,6 +49,7 @@ def cmd_train(args) -> int:
         max_batches_per_epoch=args.max_batches_per_epoch,
         grad_clip_norm=args.grad_clip_norm,
         learning_rate=args.learning_rate,
+        burn_in=args.burn_in,
     )
     Trainer(cfg).train()
     return 0
@@ -136,8 +137,13 @@ def cmd_sweep(args) -> int:
 
     spec = yolov3_spec(num_classes=2)
     params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
+    mesh = None
+    if args.data_parallel and args.data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
     det = Detector(spec, params, conf_thres=args.conf_thres,
-                   nms_thres=args.nms_thres)
+                   nms_thres=args.nms_thres, mesh=mesh)
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -149,6 +155,7 @@ def cmd_sweep(args) -> int:
         args.directory, det, caa_filter=caa_filter, prefix=args.prefix,
         pickles_dir=args.pickles_dir, batch_size=args.batch_size,
         save_images=_truthy(args.save_images), wsi_whitelist=whitelist,
+        cross_tile_merge=_truthy(args.cross_tile_merge),
     )
     for wsi, c in counts.items():
         print(f"{wsi}: Cored={c['Cored']} CAA={c['CAA']}")
@@ -236,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max_batches_per_epoch", type=int, default=None)
     t.add_argument("--grad_clip_norm", type=float, default=None)
     t.add_argument("--learning_rate", type=float, default=1e-3)
+    t.add_argument("--burn_in", type=int, default=0,
+                   help="darknet LR warmup steps (the cfg declares 1000; "
+                        "the reference trainer ignores it — opt-in)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")
@@ -281,6 +291,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
     s.add_argument("--top_caa_wsis", type=int, default=None)
     s.add_argument("--top_caa_counts_pickle", type=str, default=None)
+    s.add_argument("--cross_tile_merge", type=str, default="False",
+                   help="merge detections across adjacent tile boundaries "
+                        "(new capability; the reference double-counts "
+                        "boundary-straddling plaques)")
+    s.add_argument("--data_parallel", type=int, default=None,
+                   help="shard inference batches over an N-chip dp mesh")
     s.set_defaults(fn=cmd_sweep)
 
     c = sub.add_parser("crop")

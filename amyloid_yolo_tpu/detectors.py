@@ -169,6 +169,7 @@ class Detector:
         """
         import collections
 
+        from .ops.boxes import rescale_from_tile_frame
         from .ops.merge import merge_detections
 
         folder_ds = ImageFolder(
@@ -177,11 +178,19 @@ class Detector:
         )
         results: Dict[str, Optional[np.ndarray]] = {}
         inflight: "collections.deque" = collections.deque()
+        tile_size = self.tile_size
 
         def drain_one():
             paths, n_valid, (dets, valid) = inflight.popleft()
             ragged = nms_ops.dense_to_ragged(dets, valid)  # sync point
             for path, det in list(zip(paths, ragged))[:n_valid]:
+                if det is not None:
+                    # non-standard tiles (WSI borders): back to the image's
+                    # own pixel space, like the reference's per-image
+                    # rescale_boxes (detect.py:129)
+                    orig = folder_ds.orig_shapes.get(path)
+                    if orig is not None:
+                        det = rescale_from_tile_frame(det, tile_size, orig)
                 if det is not None and merge_boxes:
                     det = merge_detections(det)
                 if det is not None and caa_filter is not None:

@@ -71,6 +71,10 @@ class ImageFolder:
                  resize_to: Optional[int] = None):
         self.files: List[str] = sorted(glob.glob(os.path.join(folder_path, "*.*")))
         self.tile_size = tile_size
+        #: original (h, w) per path, filled as images load — consumers map
+        #: detections back to original pixel space for non-standard tiles
+        #: (WSI border tiles; reference rescale_boxes is per-image)
+        self.orig_shapes: dict = {}
         # host-side nearest downsample (identical gather to the device
         # resize) — shrinks host→device transfer ~13x for 1536→416; applied
         # in the prefetch thread so it overlaps device compute
@@ -87,15 +91,17 @@ class ImageFolder:
     def __getitem__(self, index: int) -> Tuple[str, np.ndarray]:
         path = self.files[index % len(self.files)]
         img = load_image_rgb(path)
+        self.orig_shapes[path] = img.shape[:2]
         img, _ = pad_to_square_np(img)
         if self.tile_size is not None and img.shape[0] != self.tile_size:
-            # tiles smaller than the nominal size (WSI borders) are zero-
-            # padded bottom/right so batches stack
-            out = np.zeros((self.tile_size, self.tile_size, 3), np.uint8)
-            h = min(img.shape[0], self.tile_size)
-            w = min(img.shape[1], self.tile_size)
-            out[:h, :w] = img[:h, :w]
-            img = out
+            # non-standard tiles (WSI borders): the padded square fills the
+            # whole tile frame, matching the reference where every image's
+            # own square becomes the model input (utils/transforms Resize);
+            # ops.boxes.rescale_from_tile_frame inverts this per image
+            from ..ops.preprocess import nearest_indices
+
+            idx = nearest_indices(self.tile_size, img.shape[0])
+            img = np.ascontiguousarray(img[idx][:, idx])
         if self._ridx is not None:
             img = np.ascontiguousarray(img[self._ridx][:, self._ridx])
         return path, img
@@ -173,12 +179,24 @@ class ImageFolder:
                 start = 0
                 while start < len(pending_paths):
                     chunk = pending_paths[start:start + batch_size]
-                    start += batch_size
-                    batch, ok = pool.decode_batch(chunk, self.tile_size, resize)
-                    good = [(p, batch[i]) for i, p in enumerate(chunk) if ok[i]]
+                    batch, ok, dims = pool.decode_batch(chunk, self.tile_size,
+                                                        resize)
+                    good = []
                     for i, p in enumerate(chunk):
                         if not ok[i]:
                             print(f"Could not read image '{p}' (native decoder).")
+                            continue
+                        h, w = int(dims[i, 0]), int(dims[i, 1])
+                        self.orig_shapes[p] = (h, w)
+                        if (h, w) != (self.tile_size, self.tile_size):
+                            # WSI border tile: the native decoder zero-fills
+                            # top-left; redo via the PIL path for the
+                            # centered-pad + fill-the-frame geometry
+                            _, img = self[start + i]
+                            good.append((p, img))
+                        else:
+                            good.append((p, batch[i]))
+                    start += batch_size
                     if good:
                         q.put(self._pack(good, batch_size))
             except BaseException as e:

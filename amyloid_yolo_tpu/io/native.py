@@ -52,7 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tile_pool_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.tile_decode_one.restype = ctypes.c_int
         lib.tile_decode_one.argtypes = [
@@ -79,19 +79,22 @@ class TilePool:
 
     def decode_batch(self, paths: Sequence[str], tile_size: int = 1536,
                      resize_to: int = 0) -> tuple:
-        """Decode JPEGs → (batch (N, side, side, 3) uint8, ok mask)."""
+        """Decode JPEGs → (batch (N, side, side, 3) uint8, ok mask,
+        dims (N, 2) int32 source (h, w))."""
         n = len(paths)
         side = resize_to or tile_size
         out = np.empty((n, side, side, 3), np.uint8)
         statuses = (ctypes.c_int * n)()
+        dims = np.zeros((n, 2), np.int32)
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         self._lib.tile_pool_decode_batch(
             self._pool, c_paths, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             tile_size, resize_to, statuses,
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )
         ok = np.array([statuses[i] == 0 for i in range(n)])
-        return out, ok
+        return out, ok, dims
 
     def close(self):
         if self._pool:

@@ -41,26 +41,50 @@ def have_pyvips() -> bool:
 
 def tile_image_array(img: np.ndarray, out_dir: str, name: str,
                      tile_size: int = TILE_SIZE, quality: int = 90) -> List[str]:
-    """Tile an HWC uint8 array into ``<out_dir>/<name>/0/<idx>.jpg``.
+    """Tile an HWC uint8 array into ``<out_dir>/<name>/0/<row>/<col>.jpg``.
 
-    Google-layout-like flat grid: tiles indexed row-major; edge tiles keep
-    their partial size (dzsave behavior).  Returns written paths.
+    True dzsave google layout (zoom dir ``0``, one subdirectory per tile
+    row, column index as the file name), row-major; edge tiles keep their
+    partial size (dzsave behavior).  Returns written paths.  The grid
+    coordinates are recoverable from any path via :func:`tile_origin` —
+    the cross-tile merge relies on that.
     """
     from PIL import Image
 
     base = os.path.join(out_dir, name, "0")
-    os.makedirs(base, exist_ok=True)
     h, w = img.shape[:2]
     paths = []
-    idx = 0
-    for top in range(0, h, tile_size):
-        for left in range(0, w, tile_size):
+    for row, top in enumerate(range(0, h, tile_size)):
+        row_dir = os.path.join(base, str(row))
+        os.makedirs(row_dir, exist_ok=True)
+        for col, left in enumerate(range(0, w, tile_size)):
             tile = img[top:top + tile_size, left:left + tile_size]
-            p = os.path.join(base, f"{idx}.jpg")
+            p = os.path.join(row_dir, f"{col}.jpg")
             Image.fromarray(tile).save(p, quality=quality)
             paths.append(p)
-            idx += 1
     return paths
+
+
+def tile_origin(path: str, tile_size: int = TILE_SIZE) -> Optional[Tuple[int, int]]:
+    """Slide-space origin ``(ox, oy)`` of a google-layout tile path.
+
+    Parses ``.../<WSI>/0/<row>/<col>.jpg`` → ``(col * tile_size,
+    row * tile_size)``.  Returns ``None`` when the path does not encode a
+    grid position (flat legacy layouts, divide-and-conquer renames like
+    ``<WSI>_<i>_<sub>`` — those tiles fall back to within-tile counting).
+    """
+    parts = os.path.normpath(path).split(os.sep)
+    if len(parts) < 3:
+        return None
+    stem = os.path.splitext(parts[-1])[0]
+    row = parts[-2]
+    if not (stem.isdigit() and row.isdigit()):
+        return None
+    # guard against flat layouts where parts[-2] is the zoom dir "0" and the
+    # file name is a flat index: require the zoom dir one level further up
+    if len(parts) >= 3 and parts[-3] == "0":
+        return int(stem) * tile_size, int(row) * tile_size
+    return None
 
 
 def save_and_tile(image_path: str, output_dir: str, tile_size: int = TILE_SIZE) -> None:
@@ -211,7 +235,8 @@ def iter_wsi_tile_dirs(directory: str) -> List[Tuple[str, str]]:
 
 
 __all__ = [
-    "TILE_SIZE", "have_pyvips", "tile_image_array", "save_and_tile",
-    "divide_and_conquer", "crop_wsis", "merge_1536_subdirectories",
-    "rename_temp_directories", "clear_1536_directory", "iter_wsi_tile_dirs",
+    "TILE_SIZE", "have_pyvips", "tile_image_array", "tile_origin",
+    "save_and_tile", "divide_and_conquer", "crop_wsis",
+    "merge_1536_subdirectories", "rename_temp_directories",
+    "clear_1536_directory", "iter_wsi_tile_dirs",
 ]

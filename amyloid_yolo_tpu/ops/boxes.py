@@ -129,7 +129,36 @@ def rescale_boxes_jnp(boxes: jnp.ndarray, current_dim: int, orig_h: int, orig_w:
     )
 
 
+def rescale_from_tile_frame(dets: np.ndarray, tile_size: int,
+                            original_shape) -> np.ndarray:
+    """Map detections from the square tile frame back to an image's original
+    pixel space.
+
+    ``ImageFolder`` frames a non-square / undersized tile by center-padding
+    to ``side = max(h, w)`` and nearest-resizing that square to
+    ``tile_size`` (the reference instead feeds each image's own square to
+    the model and undoes it per image via ``rescale_boxes``,
+    ``utils/utils.py:36-50`` — same geometry, different frame).  Inverse:
+    scale by ``side / tile_size``, subtract the center pads.  No-op for
+    standard ``(tile_size, tile_size)`` tiles.
+    """
+    h, w = int(original_shape[0]), int(original_shape[1])
+    if (h, w) == (tile_size, tile_size):
+        return np.asarray(dets)
+    side = max(h, w)
+    diff = abs(h - w)
+    p1 = diff // 2
+    # h < w: vertical pad (top = p1); w < h: horizontal pad (left = p1)
+    pad_l, pad_t = (0, p1) if h < w else (p1, 0) if w < h else (0, 0)
+    s = side / float(tile_size)
+    out = np.array(dets, np.float32, copy=True)
+    out[:, [0, 2]] = out[:, [0, 2]] * s - pad_l
+    out[:, [1, 3]] = out[:, [1, 3]] * s - pad_t
+    return out
+
+
 __all__ = [
     "xywh2xyxy", "xywh2xyxy_np", "xyxy2xywh_np", "bbox_iou", "bbox_iou_np",
     "bbox_wh_iou", "rescale_boxes", "rescale_boxes_jnp",
+    "rescale_from_tile_frame",
 ]

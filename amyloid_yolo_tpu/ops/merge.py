@@ -137,4 +137,122 @@ def combine_overlapping_bboxes(mapp: dict) -> dict:
     return out
 
 
-__all__ = ["combine_if_overlapping", "merge_detections", "combine_overlapping_bboxes"]
+def merge_wsi_detections(
+    dets_by_path: dict,
+    origins: dict,
+    tile_size: int = 1536,
+):
+    """Cross-tile overlap-aware merge over a whole WSI (new capability).
+
+    The reference merges strictly within a tile (``core.py:366-423`` called
+    per tile at ``validation.py:127-129``), so a plaque straddling two
+    adjacent 1536² tiles is counted twice.  This pass lifts per-tile
+    detections into slide space and merges same-class boxes *across* tile
+    boundaries.
+
+    Semantics (within-tile semantics are untouched — inputs are expected to
+    be per-tile merged already):
+
+    * boxes from **different** source tiles merge when their closed pixel
+      rectangles overlap **or abut** (≤ 1px gap — a plaque split by a tile
+      boundary produces boxes ending at column ``o-1`` and starting at
+      ``o``, which touch but do not overlap);
+    * the merged box is the exact pixel bounding union (the reference's
+      −1px width quirk is an artifact of its (x,y,w,h) round trip and is
+      NOT reproduced here — this pass has no reference counterpart);
+    * merged confidences propagate ``min(conf)`` / ``min(cls_conf)``,
+      matching the reference's within-tile rule (``core.py:409``);
+    * iterated to a fixed point; a merged box carries the union of its
+      source tiles and may chain across ≥3 tiles.  Two boxes whose source
+      sets are identical never merge (that pair was already resolved by the
+      within-tile pass).
+
+    Args:
+      dets_by_path: ``{tile_path: (N, 7) array or None}`` in TILE pixel
+        coordinates, rows ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)``.
+      origins: ``{tile_path: (ox, oy) or None}`` slide-space tile origins;
+        tiles with ``None`` origin do not participate (their rows pass
+        through unmerged, keyed to their own tile).
+      tile_size: tile edge length in pixels (box-center → owner-tile
+        assignment for the per-tile counts).
+
+    Returns:
+      ``(rows, owners)`` — ``rows`` is an (M, 7) float32 array in SLIDE
+      pixel coordinates; ``owners`` a length-M list of tile paths, each row
+      assigned to the tile containing its center (guaranteed to be one of
+      the row's source tiles).
+    """
+    entries = []  # [slide-space row(list of 7), frozenset(source paths)]
+    passthrough_rows: List[np.ndarray] = []
+    passthrough_owner: List[str] = []
+    for path, dets in dets_by_path.items():
+        if dets is None or len(dets) == 0:
+            continue
+        origin = origins.get(path)
+        for row in np.asarray(dets, np.float32):
+            if origin is None:
+                passthrough_rows.append(row)
+                passthrough_owner.append(path)
+                continue
+            ox, oy = origin
+            shifted = row.copy()
+            shifted[0] += ox
+            shifted[1] += oy
+            shifted[2] += ox
+            shifted[3] += oy
+            entries.append([shifted, frozenset([path])])
+
+    changed = True
+    while changed:
+        changed = False
+        removed = [False] * len(entries)
+        appended = []
+        for i in range(len(entries)):
+            if removed[i]:
+                continue
+            for j in range(i + 1, len(entries)):
+                if removed[i] or removed[j]:
+                    continue
+                (ri, si), (rj, sj) = entries[i], entries[j]
+                if ri[6] != rj[6] or si == sj:
+                    continue
+                # closed-rect overlap-or-abut (≤1px gap) in integer pixels
+                if (max(int(ri[0]), int(rj[0])) > min(int(ri[2]), int(rj[2])) + 1
+                        or max(int(ri[1]), int(rj[1])) > min(int(ri[3]), int(rj[3])) + 1):
+                    continue
+                merged = np.array([
+                    min(ri[0], rj[0]), min(ri[1], rj[1]),
+                    max(ri[2], rj[2]), max(ri[3], rj[3]),
+                    min(ri[4], rj[4]), min(ri[5], rj[5]), ri[6],
+                ], np.float32)
+                removed[i] = removed[j] = True
+                appended.append([merged, si | sj])
+                changed = True
+        entries = [e for k, e in enumerate(entries) if not removed[k]] + appended
+
+    rows: List[np.ndarray] = []
+    owners: List[str] = []
+    for row, sources in entries:
+        cx = (row[0] + row[2]) / 2.0
+        cy = (row[1] + row[3]) / 2.0
+        # owner = source tile whose slide-space footprint contains the
+        # center (clamped to the nearest source when the center rounds out)
+        best, best_d = None, None
+        for p in sources:
+            ox, oy = origins[p]
+            dx = max(ox - cx, 0.0, cx - (ox + tile_size - 1))
+            dy = max(oy - cy, 0.0, cy - (oy + tile_size - 1))
+            d = dx * dx + dy * dy
+            if best is None or d < best_d:
+                best, best_d = p, d
+        rows.append(row)
+        owners.append(best)
+    rows.extend(passthrough_rows)
+    owners.extend(passthrough_owner)
+    if not rows:
+        return np.zeros((0, 7), np.float32), []
+    return np.stack(rows).astype(np.float32), owners
+
+
+__all__ = ["combine_if_overlapping", "merge_detections",
+           "combine_overlapping_bboxes", "merge_wsi_detections"]

@@ -50,9 +50,12 @@ void error_exit(j_common_ptr cinfo) {
 
 // Decode one JPEG file into an RGB buffer (caller-sized). Returns 0 on
 // success. If the decoded image is smaller than (h, w), the remainder is
-// zero-filled (WSI border tiles); larger images are cropped.
+// zero-filled (WSI border tiles); larger images are cropped. When src_h /
+// src_w are non-null they receive the decoded (pre-crop) dimensions so the
+// caller can detect non-standard tiles.
 int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
-                     int scale_num, int scale_denom) {
+                     int scale_num, int scale_denom,
+                     int* src_h = nullptr, int* src_w = nullptr) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
 
@@ -75,6 +78,8 @@ int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
 
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
+  if (src_h) *src_h = h;
+  if (src_w) *src_w = w;
   std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
   std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
   const int copy_w = w < out_w ? w : out_w;
@@ -119,6 +124,7 @@ struct Job {
   int tile_size;
   int resize_to;    // 0 = keep tile_size
   int* status;
+  int* dims;        // 2 ints (h, w) of the decoded source, or nullptr
 };
 
 class Pool {
@@ -169,13 +175,16 @@ class Pool {
     }
   }
   void run(const Job& j, std::vector<uint8_t>& scratch) {
+    int* sh = j.dims ? j.dims : nullptr;
+    int* sw = j.dims ? j.dims + 1 : nullptr;
     if (j.resize_to == 0 || j.resize_to == j.tile_size) {
-      *j.status = decode_jpeg_into(j.path, j.out, j.tile_size, j.tile_size, 1, 1);
+      *j.status = decode_jpeg_into(j.path, j.out, j.tile_size, j.tile_size,
+                                   1, 1, sh, sw);
       return;
     }
     scratch.resize(static_cast<size_t>(j.tile_size) * j.tile_size * 3);
     *j.status = decode_jpeg_into(j.path, scratch.data(), j.tile_size,
-                                 j.tile_size, 1, 1);
+                                 j.tile_size, 1, 1, sh, sw);
     if (*j.status == 0) {
       nearest_resize(scratch.data(), j.tile_size, j.tile_size, j.out,
                      j.resize_to);
@@ -201,16 +210,18 @@ void tile_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 
 // Decode a batch of JPEG paths into a contiguous NHWC uint8 buffer.
 // out must hold n * side * side * 3 bytes where side = resize_to ? resize_to
-// : tile_size.  statuses must hold n ints (0 = ok).
+// : tile_size.  statuses must hold n ints (0 = ok).  dims, when non-null,
+// must hold 2n ints and receives each source's decoded (h, w) — callers use
+// it to spot WSI border tiles that need the centered-pad geometry.
 void tile_pool_decode_batch(void* pool, const char** paths, int n,
                             uint8_t* out, int tile_size, int resize_to,
-                            int* statuses) {
+                            int* statuses, int* dims) {
   Pool* p = static_cast<Pool*>(pool);
   const int side = resize_to ? resize_to : tile_size;
   const size_t stride = static_cast<size_t>(side) * side * 3;
   for (int i = 0; i < n; ++i) {
     p->submit(Job{paths[i], out + stride * i, tile_size, resize_to,
-                  statuses + i});
+                  statuses + i, dims ? dims + 2 * i : nullptr});
   }
   p->wait_all();
 }

@@ -103,11 +103,11 @@ def test_native_reader_parity_if_available(data_dir):
     paths = sorted(
         str(data_dir / "images" / f) for f in os.listdir(data_dir / "images")
         if f.startswith("t"))
-    batch, ok = pool.decode_batch(paths, tile_size=256, resize_to=0)
+    batch, ok, dims = pool.decode_batch(paths, tile_size=256, resize_to=0)
     assert ok.all()
     for p, arr in zip(paths, batch):
         np.testing.assert_array_equal(arr, load_image_rgb(p))
     # corrupt file flagged, not fatal
-    batch, ok = pool.decode_batch([str(data_dir / "images" / "bad.jpg")], 256, 0)
+    batch, ok, dims = pool.decode_batch([str(data_dir / "images" / "bad.jpg")], 256, 0)
     assert not ok[0]
     pool.close()
