@@ -56,6 +56,12 @@ class Detector:
         practice; raise ``nms_pool`` (e.g. 256) for low-conf sweeps.
       nms_pool: pre-NMS candidate pool size (default = ``capacity``).
       compute_dtype: bf16 by default — the MXU-native inference dtype.
+      precision: ``"bf16"`` (default, box-for-box parity) or
+        ``"int8_early"`` — the HBM-bound high-resolution backbone stage
+        runs with int8 activations (and int8 MXU convs unless
+        ``int8_compute=False``) using static scales calibrated on the
+        first batch (or via :meth:`calibrate`).  Non-parity fast path;
+        measure the accuracy delta on your data before adopting.
     """
 
     def __init__(
@@ -73,6 +79,9 @@ class Detector:
         fold_bn: bool = True,
         host_resize: bool = False,
         mesh=None,
+        precision: str = "bf16",
+        int8_compute: bool = True,
+        int8_downsample: int = 4,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -86,6 +95,18 @@ class Detector:
         self.capacity = capacity
         self.nms_pool = nms_pool or capacity
         self.compute_dtype = compute_dtype
+        if precision not in ("bf16", "int8_early"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if precision == "int8_early" and not fold_bn:
+            raise ValueError("int8_early requires fold_bn=True")
+        self.precision = precision
+        self.int8_compute = int8_compute
+        self._int8_upto = (darknet.int8_region(self.spec, int8_downsample)
+                           if precision == "int8_early" else 0)
+        self._qparams = (darknet.quantize_folded_int8(
+            self.params, self.spec, self._int8_upto)
+            if precision == "int8_early" else None)
+        self._act_scales: Optional[Dict[str, float]] = None
         # host_resize: the nearest resize is a pure index gather, so it can
         # run host-side on uint8 before transfer with bit-identical results —
         # shrinking host→device traffic ~13x (1536²→416²).  Use it when the
@@ -101,7 +122,11 @@ class Detector:
 
             self._batch_sharding = batch_sharding(mesh)
             self.params = jax.device_put(self.params, replicated(mesh))
-        self._fn = self._build()
+            if self._qparams is not None:
+                self._qparams = jax.device_put(self._qparams, replicated(mesh))
+        # int8_early defers compilation until activation scales exist
+        # (calibrate() explicitly, or lazily on the first batch)
+        self._fn = self._build() if self.precision == "bf16" else None
 
     def _build(self):
         spec = self.spec
@@ -113,6 +138,11 @@ class Detector:
         fold = self.fold_bn
 
         host_resize = self.host_resize
+        precision = self.precision
+        qparams = self._qparams
+        act_scales = self._act_scales
+        int8_upto = self._int8_upto
+        int8_compute = self.int8_compute
 
         @jax.jit
         def run(params, tiles_u8):
@@ -120,7 +150,12 @@ class Detector:
                 x = tiles_u8.astype(jnp.float32) / 255.0
             else:
                 x = preprocess_tiles(tiles_u8, model_size)
-            if fold:
+            if precision == "int8_early":
+                maps = darknet.apply_folded_int8(
+                    params, qparams, act_scales, spec, x,
+                    upto=int8_upto, compute_dtype=dtype,
+                    int8_compute=int8_compute)
+            elif fold:
                 maps = darknet.apply_folded(params, spec, x, compute_dtype=dtype)
             else:
                 maps, _ = darknet.apply(params, spec, x, compute_dtype=dtype)
@@ -132,8 +167,25 @@ class Detector:
 
         return run
 
+    def calibrate(self, tiles_u8: np.ndarray) -> Dict[str, float]:
+        """Compute static int8 activation scales from a representative batch
+        and compile the int8 pipeline (no-op for bf16 precision)."""
+        if self.precision != "int8_early":
+            return {}
+        tiles = jnp.asarray(tiles_u8)
+        if self.host_resize:
+            x = tiles.astype(jnp.float32) / 255.0
+        else:
+            x = preprocess_tiles(tiles, self.model_size)
+        self._act_scales = darknet.calibrate_act_scales(
+            self.params, self.spec, x, self._int8_upto)
+        self._fn = self._build()
+        return self._act_scales
+
     def __call__(self, tiles_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K))."""
+        if self._fn is None:  # int8_early: calibrate on the first batch
+            self.calibrate(tiles_u8)
         if self.mesh is not None:
             tiles = jax.device_put(jnp.asarray(tiles_u8), self._batch_sharding)
         else:
@@ -153,6 +205,7 @@ class Detector:
         merge_boxes: bool = False,
         caa_filter=None,
         pipeline_depth: int = 2,
+        fast_decode: bool = False,
     ) -> Dict[str, Optional[np.ndarray]]:
         """Run over every image in a folder (reference ``detect.py`` flow).
 
@@ -175,6 +228,7 @@ class Detector:
         folder_ds = ImageFolder(
             folder, tile_size=self.tile_size,
             resize_to=self.model_size if self.host_resize else None,
+            fast_decode=fast_decode,
         )
         results: Dict[str, Optional[np.ndarray]] = {}
         inflight: "collections.deque" = collections.deque()

@@ -246,7 +246,13 @@ def apply_folded(
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> List[jnp.ndarray]:
-    """Inference-only forward over BN-folded params (bf16 by default)."""
+    """Inference-only forward over BN-folded params (bf16 by default).
+
+    Conv outputs accumulate to f32 (``_conv`` preferred_element_type);
+    emitting bf16 conv outputs was measured on v5e and saved nothing
+    (12.64 vs 12.65 ms — XLA already fuses the convert), so the exact
+    variant stays.
+    """
     if x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
 
@@ -289,7 +295,207 @@ def apply_folded(
     return head_maps
 
 
+# ---------------------------------------------------------------------------
+# int8 early backbone (non-parity fast path)
+#
+# BENCH r1: layers 0-26 (416²-104² maps, 32-256 ch) are HBM-bandwidth bound —
+# 8.5 of 12.1 ms of the bf16 forward.  Storing those activations as int8 with
+# static per-layer scales halves the traffic, and int8×int8→int32 convs run
+# the MXU at 2× bf16 throughput on v5e.  Opt-in via Detector(precision=
+# "int8_early"); default stays bf16 for box-for-box parity.
+# ---------------------------------------------------------------------------
+
+def int8_region(spec: GraphSpec, max_downsample: int = 4) -> int:
+    """Last-exclusive layer index of the high-resolution region: every layer
+    whose INPUT feature map is at downsample factor <= ``max_downsample``
+    (416² input: 416..104 px maps — the HBM-bound region)."""
+    factor = 1
+    for i, layer in enumerate(spec.layers):
+        if factor > max_downsample:
+            return i
+        if isinstance(layer, (RouteSpec, YoloSpec)):
+            return i  # int8 region stays within the plain backbone prefix
+        if isinstance(layer, ConvSpec) and layer.stride > 1:
+            factor *= layer.stride
+        elif isinstance(layer, MaxPoolSpec) and layer.stride > 1:
+            factor *= layer.stride
+        elif isinstance(layer, UpsampleSpec):
+            factor = max(1, factor // layer.factor)
+    return len(spec.layers)
+
+
+def quantize_folded_int8(folded: Params, spec: GraphSpec, upto: int) -> Params:
+    """Per-output-channel symmetric int8 quantization of folded conv weights
+    for layers < ``upto``; biases stay f32."""
+    q: Params = {}
+    for i in spec.conv_indices:
+        if i >= upto:
+            continue
+        w = np.asarray(folded[f"conv_{i}"]["w"], np.float32)
+        s = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+        s = np.maximum(s, 1e-12)
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        q[f"conv_{i}"] = {
+            "wq": jnp.asarray(wq),
+            "ws": jnp.asarray(s.astype(np.float32)),
+            "b": jnp.asarray(np.asarray(folded[f"conv_{i}"]["b"], np.float32)),
+        }
+    return q
+
+
+def calibrate_act_scales(folded: Params, spec: GraphSpec, x: jnp.ndarray,
+                         upto: int) -> Dict[str, float]:
+    """Static activation scales (amax/127 per layer output, f32 forward) for
+    the int8 region, from a representative sample batch."""
+    @jax.jit
+    def probe(params, xin):
+        amax: Dict[str, jnp.ndarray] = {"in": jnp.max(jnp.abs(xin))}
+        saved: Dict[int, jnp.ndarray] = {}
+        prev = xin
+        for i, layer in enumerate(spec.layers[:upto]):
+            if isinstance(layer, ConvSpec):
+                out = _conv(prev, params[f"conv_{i}"]["w"], layer.stride, layer.pad)
+                out = out + params[f"conv_{i}"]["b"]
+                if layer.activation == "leaky":
+                    out = _leaky(out)
+            elif isinstance(layer, ShortcutSpec):
+                out = prev + saved[layer.from_index]
+            elif isinstance(layer, MaxPoolSpec):
+                out = _maxpool(prev, layer.kernel, layer.stride)
+            elif isinstance(layer, UpsampleSpec):
+                out = _upsample(prev, layer.factor)
+            else:  # routes/yolo do not appear in the early backbone
+                raise TypeError(f"int8 region cannot contain {layer!r}")
+            amax[str(i)] = jnp.max(jnp.abs(out))
+            saved[i] = out
+            prev = out
+        return amax
+
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    amax = jax.device_get(probe(folded, x))
+    return {k: float(v) / 127.0 + 1e-12 for k, v in amax.items()}
+
+
+def apply_folded_int8(
+    folded: Params,
+    qparams: Params,
+    act_scales: Dict[str, float],
+    spec: GraphSpec,
+    x: jnp.ndarray,
+    *,
+    upto: int,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    int8_compute: bool = True,
+) -> List[jnp.ndarray]:
+    """Inference forward with int8 activations (and optionally int8 convs)
+    through layers < ``upto``, then the standard folded path.
+
+    Activations between early layers are stored int8 with the static
+    ``act_scales``; dequantize/requantize are elementwise and fuse into the
+    convolutions, so HBM sees half the bytes.  ``int8_compute=True``
+    additionally runs the early convs as int8×int8→int32 on the MXU.
+    """
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+
+    last_use: Dict[int, int] = {}
+    for i, cons in enumerate(spec.consumers):
+        if cons:
+            last_use[i] = max(cons)
+
+    def quant(y, s):
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+    xs = act_scales["in"]
+    xq = quant(x, xs)
+    saved_q: Dict[int, Tuple[jnp.ndarray, float]] = {}
+    prev_q, prev_s = xq, xs
+
+    for i, layer in enumerate(spec.layers[:upto]):
+        if isinstance(layer, ConvSpec):
+            qp = qparams[f"conv_{i}"]
+            if int8_compute:
+                y = jax.lax.conv_general_dilated(
+                    prev_q, qp["wq"],
+                    window_strides=(layer.stride, layer.stride),
+                    padding=((layer.pad, layer.pad), (layer.pad, layer.pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
+            else:  # int8 storage only: dequant fuses into the bf16 conv
+                xf = (prev_q.astype(compute_dtype)
+                      * jnp.asarray(prev_s, compute_dtype))
+                w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
+                y = _conv(xf, w, layer.stride, layer.pad).astype(jnp.float32) \
+                    + folded[f"conv_{i}"]["b"]
+            if layer.activation == "leaky":
+                y = _leaky(y)
+        elif isinstance(layer, ShortcutSpec):
+            aq, as_ = saved_q[layer.from_index]
+            y = (prev_q.astype(jnp.float32) * prev_s
+                 + aq.astype(jnp.float32) * as_)
+        elif isinstance(layer, MaxPoolSpec):
+            y = _maxpool(prev_q.astype(jnp.float32) * prev_s,
+                         layer.kernel, layer.stride)
+        elif isinstance(layer, UpsampleSpec):
+            y = None
+            out_q = _upsample(prev_q, layer.factor)
+            out_s = prev_s
+        else:  # pragma: no cover
+            raise TypeError(f"int8 region cannot contain {layer!r}")
+        if y is not None:
+            out_s = act_scales[str(i)]
+            out_q = quant(y, out_s)
+        if i in last_use:
+            saved_q[i] = (out_q, out_s)
+        for k in [k for k, lu in last_use.items() if lu == i and k in saved_q]:
+            if k != i:
+                del saved_q[k]
+        prev_q, prev_s = out_q, out_s
+
+    # boundary: dequantize and hand off to the standard folded path
+    x = prev_q.astype(compute_dtype) * jnp.asarray(prev_s, compute_dtype)
+    saved: Dict[int, jnp.ndarray] = {
+        k: (q.astype(compute_dtype) * jnp.asarray(s, compute_dtype))
+        for k, (q, s) in saved_q.items()
+    }
+    head_maps: List[jnp.ndarray] = []
+    prev = x
+    for j, layer in enumerate(spec.layers[upto:]):
+        i = upto + j
+        if isinstance(layer, ConvSpec):
+            w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
+            out = _conv(prev, w, layer.stride, layer.pad)
+            out = out.astype(compute_dtype) + folded[f"conv_{i}"]["b"].astype(compute_dtype)
+            if layer.activation == "leaky":
+                out = _leaky(out)
+        elif isinstance(layer, MaxPoolSpec):
+            out = _maxpool(prev, layer.kernel, layer.stride)
+        elif isinstance(layer, UpsampleSpec):
+            out = _upsample(prev, layer.factor)
+        elif isinstance(layer, RouteSpec):
+            out = jnp.concatenate(
+                [saved[s] if s in saved else prev for s in layer.layers], axis=-1
+            )
+        elif isinstance(layer, ShortcutSpec):
+            out = prev + saved[layer.from_index]
+        elif isinstance(layer, YoloSpec):
+            head_maps.append(prev.astype(jnp.float32))
+            out = prev
+        else:  # pragma: no cover
+            raise TypeError(f"unknown layer spec {layer!r}")
+        if i in last_use:
+            saved[i] = out
+        for k in [k for k, lu in last_use.items() if lu == i and k in saved]:
+            if k != i:
+                del saved[k]
+        prev = out
+    return head_maps
+
+
 __all__ = [
     "Params", "init_params", "apply", "apply_folded", "fold_batchnorm",
-    "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
+    "int8_region", "quantize_folded_int8", "calibrate_act_scales",
+    "apply_folded_int8", "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
 ]
