@@ -68,13 +68,17 @@ class ImageFolder:
     """
 
     def __init__(self, folder_path: str, tile_size: Optional[int] = None,
-                 resize_to: Optional[int] = None):
+                 resize_to: Optional[int] = None, fast_decode: bool = False):
         self.files: List[str] = sorted(glob.glob(os.path.join(folder_path, "*.*")))
         self.tile_size = tile_size
         #: original (h, w) per path, filled as images load — consumers map
         #: detections back to original pixel space for non-standard tiles
         #: (WSI border tiles; reference rescale_boxes is per-image)
         self.orig_shapes: dict = {}
+        # fast_decode: native path decodes at 1/2 DCT scale when the gather
+        # target allows it (1536→416: decode 768, ~4x less IDCT) — pixels
+        # are the scaled rendition, NOT bit-identical; opt-in
+        self.fast_decode = fast_decode
         # host-side nearest downsample (identical gather to the device
         # resize) — shrinks host→device transfer ~13x for 1536→416; applied
         # in the prefetch thread so it overlaps device compute
@@ -172,6 +176,14 @@ class ImageFolder:
 
     def _iter_batches_native(self, pool, batch_size: int, prefetch: int):
         resize = self.resize_to or 0
+        denom = 1
+        if self.fast_decode and resize and self.tile_size:
+            # largest libjpeg power-of-2 scale whose decode is still >= the
+            # gather target (1536 -> 416: denom 2, decode at 768)
+            for d in (8, 4, 2):
+                if self.tile_size % d == 0 and self.tile_size // d >= resize:
+                    denom = d
+                    break
 
         def produce(q: "queue.Queue"):
             try:
@@ -180,7 +192,8 @@ class ImageFolder:
                 while start < len(pending_paths):
                     chunk = pending_paths[start:start + batch_size]
                     batch, ok, dims = pool.decode_batch(chunk, self.tile_size,
-                                                        resize)
+                                                        resize,
+                                                        scale_denom=denom)
                     good = []
                     for i, p in enumerate(chunk):
                         if not ok[i]:

@@ -52,7 +52,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tile_pool_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
         ]
         lib.tile_decode_one.restype = ctypes.c_int
         lib.tile_decode_one.argtypes = [
@@ -78,9 +79,14 @@ class TilePool:
         self._pool = lib.tile_pool_create(n_threads or max(os.cpu_count() or 1, 1))
 
     def decode_batch(self, paths: Sequence[str], tile_size: int = 1536,
-                     resize_to: int = 0) -> tuple:
+                     resize_to: int = 0, scale_denom: int = 1) -> tuple:
         """Decode JPEGs → (batch (N, side, side, 3) uint8, ok mask,
-        dims (N, 2) int32 source (h, w))."""
+        dims (N, 2) int32 ORIGINAL source (h, w)).
+
+        ``scale_denom > 1`` enables libjpeg DCT-domain scaled decode for the
+        ``resize_to`` path (≈denom²× less IDCT work; pixels are the scaled
+        rendition, not bit-identical to full decode — see tile_reader.cc).
+        """
         n = len(paths)
         side = resize_to or tile_size
         out = np.empty((n, side, side, 3), np.uint8)
@@ -90,7 +96,7 @@ class TilePool:
         self._lib.tile_pool_decode_batch(
             self._pool, c_paths, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            tile_size, resize_to, statuses,
+            tile_size, resize_to, scale_denom, statuses,
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )
         ok = np.array([statuses[i] == 0 for i in range(n)])

@@ -78,8 +78,10 @@ int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
 
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
-  if (src_h) *src_h = h;
-  if (src_w) *src_w = w;
+  // report PRE-scale dimensions: callers key border-tile handling and
+  // coordinate spaces off the original image geometry
+  if (src_h) *src_h = static_cast<int>(cinfo.image_height);
+  if (src_w) *src_w = static_cast<int>(cinfo.image_width);
   std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
   std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
   const int copy_w = w < out_w ? w : out_w;
@@ -123,8 +125,9 @@ struct Job {
   uint8_t* out;     // slot in the batch buffer
   int tile_size;
   int resize_to;    // 0 = keep tile_size
+  int scale_denom;  // libjpeg DCT-domain decode scale (1 = full)
   int* status;
-  int* dims;        // 2 ints (h, w) of the decoded source, or nullptr
+  int* dims;        // 2 ints (h, w) of the ORIGINAL source, or nullptr
 };
 
 class Pool {
@@ -182,12 +185,23 @@ class Pool {
                                    1, 1, sh, sw);
       return;
     }
-    scratch.resize(static_cast<size_t>(j.tile_size) * j.tile_size * 3);
-    *j.status = decode_jpeg_into(j.path, scratch.data(), j.tile_size,
-                                 j.tile_size, 1, 1, sh, sw);
+    // DCT-domain scaled decode: when the gather target is at most
+    // tile/denom, decode directly at 1/denom — libjpeg runs a
+    // (8/denom)-point IDCT, cutting IDCT + color-conversion work ~denom²×.
+    // The downstream gather uses floor(i * decoded/dst) indices, so the
+    // result is the nearest-resize of the SCALED image (a low-passed
+    // rendition of the full-size one), not bit-identical to the full-decode
+    // path — callers opt in (fast_decode) and own the parity story.
+    const int denom = (j.scale_denom > 1 &&
+                       j.tile_size % j.scale_denom == 0 &&
+                       j.tile_size / j.scale_denom >= j.resize_to)
+                          ? j.scale_denom : 1;
+    const int dec = j.tile_size / denom;
+    scratch.resize(static_cast<size_t>(dec) * dec * 3);
+    *j.status = decode_jpeg_into(j.path, scratch.data(), dec, dec,
+                                 1, denom, sh, sw);
     if (*j.status == 0) {
-      nearest_resize(scratch.data(), j.tile_size, j.tile_size, j.out,
-                     j.resize_to);
+      nearest_resize(scratch.data(), dec, dec, j.out, j.resize_to);
     }
   }
 
@@ -215,13 +229,13 @@ void tile_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 // it to spot WSI border tiles that need the centered-pad geometry.
 void tile_pool_decode_batch(void* pool, const char** paths, int n,
                             uint8_t* out, int tile_size, int resize_to,
-                            int* statuses, int* dims) {
+                            int scale_denom, int* statuses, int* dims) {
   Pool* p = static_cast<Pool*>(pool);
   const int side = resize_to ? resize_to : tile_size;
   const size_t stride = static_cast<size_t>(side) * side * 3;
   for (int i = 0; i < n; ++i) {
     p->submit(Job{paths[i], out + stride * i, tile_size, resize_to,
-                  statuses + i, dims ? dims + 2 * i : nullptr});
+                  scale_denom, statuses + i, dims ? dims + 2 * i : nullptr});
   }
   p->wait_all();
 }
