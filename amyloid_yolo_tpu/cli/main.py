@@ -50,6 +50,7 @@ def cmd_train(args) -> int:
         grad_clip_norm=args.grad_clip_norm,
         learning_rate=args.learning_rate,
         burn_in=args.burn_in,
+        compute_dtype=args.compute_dtype,
     )
     Trainer(cfg).train()
     return 0
@@ -109,6 +110,7 @@ def cmd_detect(args) -> int:
         args.image_folder, batch_size=args.batch_size,
         merge_boxes=_truthy(args.merge_boxes),
         caa_filter=(caa_filter.filter_path if caa_filter else None),
+        fast_decode=_truthy(args.fast_decode),
     )
     from PIL import Image
 
@@ -246,6 +248,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--burn_in", type=int, default=0,
                    help="darknet LR warmup steps (the cfg declares 1000; "
                         "the reference trainer ignores it — opt-in)")
+    t.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="training compute dtype (bfloat16 = MXU-native; "
+                        "params/optimizer/BN stats stay f32)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")
@@ -273,6 +279,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--caa_model_pickle", type=str,
                    default="pickles/model_all_fold_3_thresholding_2_l2.pkl")
     d.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
+    d.add_argument("--fast_decode", type=str, default="False",
+                   help="DCT-scaled JPEG decode on the native host path "
+                        "(~12%% faster single-core; pixels are the scaled "
+                        "rendition, not bit-identical)")
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("sweep")

@@ -85,14 +85,20 @@ def init_params(rng: jax.Array, spec: GraphSpec) -> Params:
 # Layer primitives
 # ---------------------------------------------------------------------------
 
-def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int) -> jnp.ndarray:
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
+          widen_output: bool = True) -> jnp.ndarray:
+    """NHWC/HWIO conv.  ``widen_output`` emits f32 for bf16 inputs
+    (inference path: exact epilogues); differentiable paths must pass
+    ``False`` — a widened output breaks the conv transpose rule with mixed
+    operand dtypes (the MXU accumulates wide internally either way)."""
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        preferred_element_type=(jnp.float32 if widen_output
+                                and x.dtype == jnp.bfloat16 else None),
     )
 
 
@@ -165,7 +171,7 @@ def apply(
     for i, layer in enumerate(spec.layers):
         if isinstance(layer, ConvSpec):
             w = params[f"conv_{i}"]["w"].astype(compute_dtype)
-            out = _conv(prev, w, layer.stride, layer.pad)
+            out = _conv(prev, w, layer.stride, layer.pad, widen_output=False)
             if layer.batch_normalize:
                 bn = params[f"bn_{i}"]
                 if train:

@@ -54,6 +54,7 @@ class TrainConfig:
     learning_rate: float = 1e-3
     grad_clip_norm: Optional[float] = None  # None = reference behavior
     burn_in: int = 0  # darknet LR warmup steps; 0 = reference (ignored cfg)
+    compute_dtype: str = "float32"  # "bfloat16": MXU-native training compute
     num_classes: int = 2
     logdir: str = "logs"
     seed: int = 0
@@ -80,15 +81,20 @@ class Trainer:
                                                   burn_in=cfg.burn_in)
         self.state = steps_mod.init_train_state(params, self.optimizer)
         self.accum = max(1, int(cfg.gradient_accumulations or 1))
+        # compute_dtype="bfloat16" runs conv forward/backward MXU-native;
+        # params, loss reductions, BN stats and Adam state stay f32
+        cdtype = jnp.dtype(cfg.compute_dtype)
         if self.accum > 1:
             # reference default recipe: batch 8 x accumulation 2
             # (train.py:31,116-119) — summed grads, step every N batches
             self.step_fn = steps_mod.make_accum_train_step(
-                self.spec, self.optimizer, self.accum, augment=cfg.augment
+                self.spec, self.optimizer, self.accum, augment=cfg.augment,
+                compute_dtype=cdtype,
             )
         else:
             self.step_fn = steps_mod.make_train_step(
-                self.spec, self.optimizer, augment=cfg.augment
+                self.spec, self.optimizer, augment=cfg.augment,
+                compute_dtype=cdtype,
             )
         if cfg.data_parallel and cfg.data_parallel > 1:
             mesh = make_mesh(cfg.data_parallel)

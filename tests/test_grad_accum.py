@@ -118,6 +118,21 @@ def test_accum_holds_params_between_applies(spec):
         np.asarray(astate.inner.params["conv_0"]["w"]), w_after_apply)
 
 
+def test_bf16_compute_train_step(spec):
+    """compute_dtype=bfloat16 trains with finite loss; master params, BN
+    stats and optimizer state stay f32."""
+    optimizer = S.make_optimizer(1e-3)
+    params = darknet.init_params(jax.random.PRNGKey(5), spec)
+    step = S.make_train_step(spec, optimizer, augment=False,
+                             compute_dtype=jnp.bfloat16)
+    state = S.init_train_state(params, optimizer)
+    images, targets, mask = make_batch(3)
+    state, m = step(state, images, targets, mask, jax.random.PRNGKey(0), IMG)
+    assert np.isfinite(float(m["loss"]))
+    assert state.params["conv_0"]["w"].dtype == jnp.float32
+    assert state.params["bn_0"]["mean"].dtype == jnp.float32
+
+
 def test_burn_in_schedule():
     """Darknet LR burn-in: lr * (step/burn_in)^4, reaching base lr after
     burn_in optimizer steps.  With a constant gradient Adam's update
