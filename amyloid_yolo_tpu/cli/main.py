@@ -52,7 +52,12 @@ def cmd_train(args) -> int:
         burn_in=args.burn_in,
         compute_dtype=args.compute_dtype,
     )
-    Trainer(cfg).train()
+    trainer = Trainer(cfg)
+    if args.resume:
+        # orbax checkpoint resume incl. optimizer state (the reference's
+        # --pretrained_weights reloads weights only, train.py:64-68)
+        trainer.load_checkpoint(args.resume)
+    trainer.train()
     return 0
 
 
@@ -252,6 +257,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="training compute dtype (bfloat16 = MXU-native; "
                         "params/optimizer/BN stats stay f32)")
+    t.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint dir to resume from "
+                        "(restores optimizer state too)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")
