@@ -189,8 +189,19 @@ class Trainer:
         # optimizer's pytree structure (namedtuples) around the restored
         # leaves or the first post-resume update dies on attribute access
         ref_opt = self.optimizer.init(steps_mod._split(tree["params"])[0])
-        opt_state = jax.tree.unflatten(
-            jax.tree.structure(ref_opt), jax.tree.leaves(tree["opt_state"]))
+        struct = jax.tree.structure(ref_opt)
+        leaves = jax.tree.leaves(tree["opt_state"])
+        if struct.num_leaves == len(leaves):
+            opt_state = jax.tree.unflatten(struct, leaves)
+        else:
+            # the checkpoint was written with a differently-shaped optimizer
+            # (e.g. a burn-in schedule adds a count leaf): resume params
+            # only, with fresh optimizer state — the reference's resume
+            # semantics (it never checkpoints optimizer state at all)
+            print(f"[resume] optimizer state mismatch ({len(leaves)} leaves "
+                  f"vs {struct.num_leaves} expected) — params restored, "
+                  f"optimizer state reset")
+            opt_state = ref_opt
         self.state = steps_mod.TrainState(
             params=tree["params"],
             opt_state=opt_state,

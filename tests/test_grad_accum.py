@@ -160,8 +160,7 @@ def test_burn_in_zero_is_reference_behavior():
     np.testing.assert_array_equal(np.asarray(ua["w"]), np.asarray(ub["w"]))
 
 
-def test_trainer_honors_gradient_accumulations(tmp_path, rng):
-    from amyloid_yolo_tpu.training import TrainConfig, Trainer
+def _tiny_dataset(tmp_path, rng):
     from PIL import Image
 
     img_dir = tmp_path / "images"
@@ -181,9 +180,15 @@ def test_trainer_honors_gradient_accumulations(tmp_path, rng):
     (tmp_path / "custom.data").write_text(
         f"classes=2\ntrain={tmp_path}/train.txt\nvalid={tmp_path}/valid.txt\n"
         f"names={tmp_path}/classes.names\n")
+    return str(tmp_path / "custom.data")
 
+
+def test_trainer_honors_gradient_accumulations(tmp_path, rng):
+    from amyloid_yolo_tpu.training import TrainConfig, Trainer
+
+    data_cfg = _tiny_dataset(tmp_path, rng)
     cfg = TrainConfig(
-        data_config=str(tmp_path / "custom.data"),
+        data_config=data_cfg,
         epochs=1, batch_size=2, gradient_accumulations=2, img_size=IMG,
         multiscale=False, augment=False,
         checkpoint_dir=str(tmp_path / "ck"), logdir=str(tmp_path / "logs"),
@@ -195,3 +200,40 @@ def test_trainer_honors_gradient_accumulations(tmp_path, rng):
     assert int(state.step) == 2      # 4 images / batch 2
     assert int(state.seen) == 4
     assert np.isfinite(np.asarray(state.params["conv_0"]["w"], np.float32)).all()
+
+
+def test_resume_across_optimizer_shapes(tmp_path, rng, capsys):
+    """A checkpoint written with a burn-in optimizer (extra schedule-count
+    leaf) resumes into a burn-in-free Trainer: params restored, optimizer
+    state reset with a message (reference semantics — it never checkpoints
+    optimizer state)."""
+    from amyloid_yolo_tpu.training import TrainConfig, Trainer
+
+    data_cfg = _tiny_dataset(tmp_path, rng)
+    base = dict(
+        data_config=data_cfg, epochs=1, batch_size=2,
+        gradient_accumulations=1, img_size=IMG, multiscale=False,
+        augment=False, logdir=str(tmp_path / "logs"),
+        evaluation_interval=10,
+    )
+    spec = mini_spec(num_classes=2, img_size=IMG)
+    tr1 = Trainer(TrainConfig(burn_in=5, checkpoint_dir=str(tmp_path / "ck1"),
+                              **base), spec=spec)
+    tr1.train()
+    ckpt = str(tmp_path / "ck1" / "yolov3_ckpt_0")
+
+    tr2 = Trainer(TrainConfig(burn_in=0, checkpoint_dir=str(tmp_path / "ck2"),
+                              **base), spec=spec)
+    tr2.load_checkpoint(ckpt)
+    assert "optimizer state reset" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.params["conv_0"]["w"]),
+        np.asarray(tr1.state.params["conv_0"]["w"]))
+    state = tr2.train()          # must step fine post-resume
+    assert int(state.step) > int(tr1.state.step) - 1
+
+    # matching shapes restore the optimizer state exactly (no message)
+    tr3 = Trainer(TrainConfig(burn_in=5, checkpoint_dir=str(tmp_path / "ck3"),
+                              **base), spec=spec)
+    tr3.load_checkpoint(ckpt)
+    assert "optimizer state reset" not in capsys.readouterr().out
