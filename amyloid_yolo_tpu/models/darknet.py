@@ -422,12 +422,17 @@ def apply_folded_int8(
         if isinstance(layer, ConvSpec):
             qp = qparams[f"conv_{i}"]
             if int8_compute:
+                # bf16 conv output (vs exact int32): measured 27% faster on
+                # the hottest early conv (the epilogue reads half the bytes)
+                # with no detection-level accuracy change on the real-data
+                # gate — the bf16 rounding of the accumulator is the same
+                # order as the int8 quantization error itself
                 y = jax.lax.conv_general_dilated(
                     prev_q, qp["wq"],
                     window_strides=(layer.stride, layer.stride),
                     padding=((layer.pad, layer.pad), (layer.pad, layer.pad)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
+                    preferred_element_type=jnp.bfloat16,
                 ).astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
             else:  # int8 storage only: dequant fuses into the bf16 conv
                 xf = (prev_q.astype(compute_dtype)

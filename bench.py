@@ -1,25 +1,29 @@
 """Benchmark of record: 1536px WSI tiles/sec/chip at batch 16.
 
-Measures the flagship compiled pipeline — letterbox/resize/normalize →
-BN-folded bf16 Darknet-53/YOLOv3 → anchor decode → class-aware merging NMS →
-tile-space boxes — as one jitted device program.
+Measures the flagship compiled pipeline as one jitted device program:
 
-Methodology (and why two numbers are printed):
+    uint8 1536² tiles (device-resident)
+      → on-device nearest 1536→416 + /255
+      → Darknet-53/YOLOv3 (int8 early backbone + bf16 tail by default)
+      → anchor decode → class-aware merging NMS → tile-space boxes
 
-* **Headline (stdout JSON)**: steady-state throughput of the compiled
-  pipeline with device-resident input batches — the chip + framework
-  number that transfers over a production PCIe/DMA host link (GB/s)
-  would sustain.  Measured over 30 dispatches, blocked at the end.
-* **Diagnostic (stderr)**: the same pipeline fed fresh uint8 batches from
-  host memory through this dev harness's TPU tunnel.  The tunnel moves
-  ~35 MB/s, so input streaming caps at ~65-80 tiles/s here regardless of
-  the chip — a property of the harness link, not of the framework (the
-  uint8 416² feed is already the minimal raw representation; the C++ tile
-  streamer keeps it off the critical path on real hosts).
+Methodology (and what each printed line means):
+
+* **Headline (stdout JSON)**: steady-state throughput of the full device
+  pipeline with device-resident 1536² uint8 input — every stage including
+  the 1536→416 gather runs on-chip in the timed loop.  Precision is the
+  shipped fast path (``precision=int8_early, int8_downsample=32`` — accuracy-gated against the bf16
+  pipeline on the 200 real prospective images (mAP@0.5 delta +0.02, see PARITY.md); set
+  ``BENCH_PRECISION=bf16`` for the box-for-box parity pipeline).  Measured
+  over 40 dispatches × 2 repetitions (best), blocked at the end.
+* **Diagnostics (stderr)**: the bf16 parity pipeline, the host-resized
+  (416² input) variant, and host-fed streaming through this dev harness's
+  ~35 MB/s TPU tunnel (link-bound; a production PCIe host moves the 416²
+  uint8 feed in ~1 ms).
 
 ``vs_baseline`` compares against an estimated reference throughput of 30
-tiles/sec (PyTorch YOLOv3-416 forward on the reference's GTX 1080 at batch
-8, derated for its host-side NMS/preprocess — the reference's own run-time
+tiles/sec (PyTorch YOLOv3-416 on the reference's GTX 1080 at batch 8,
+derated for its host-side NMS/preprocess — the reference's own run-time
 pickles are git-LFS stubs, ``validation.py:282-366``).
 """
 
@@ -33,6 +37,24 @@ import numpy as np
 BASELINE_TILES_PER_SEC = 30.0
 
 
+def measure(det, inp, iters=40, reps=2):
+    import jax
+
+    out = det._fn(det.params, inp)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        for _ in range(3):
+            out = det._fn(det.params, inp)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = det._fn(det.params, inp)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 def main():
     import jax
 
@@ -42,38 +64,45 @@ def main():
     from amyloid_yolo_tpu.ops.preprocess import nearest_indices
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    precision = os.environ.get("BENCH_PRECISION", "int8_early")
+    int8_ds = int(os.environ.get("BENCH_INT8_DS", "32"))
 
-    det = Detector(host_resize=True)  # random weights: same FLOPs as trained
     rng = np.random.RandomState(0)
-    idx = nearest_indices(det.model_size, 1536)
     tiles = rng.randint(0, 255, (batch, 1536, 1536, 3)).astype(np.uint8)
+    idx = nearest_indices(416, 1536)
     small = np.ascontiguousarray(tiles[:, idx][:, :, idx])
 
-    # warmup (compile + first run)
-    dev_batch = jax.device_put(small)
-    for _ in range(2):
-        out = det._fn(det.params, dev_batch)
-        jax.block_until_ready(out)
+    # headline: full device pipeline, device-resident 1536² input
+    det = Detector(precision=precision, int8_downsample=int8_ds)
+    if precision != "bf16":
+        det.calibrate(tiles[:2])
+    dev_tiles = jax.device_put(tiles)
+    t_head = measure(det, dev_tiles, iters, 2)
+    chip_tps = batch / t_head
 
-    # headline: chip-pipeline steady state (device-resident input)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = det._fn(det.params, dev_batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    chip_tps = batch * iters / dt
+    # diagnostics
+    det_bf16 = Detector()
+    t_bf16 = measure(det_bf16, dev_tiles, iters, 1)
+    print(f"# bf16 parity pipeline (device-resize): {batch / t_bf16:.0f} tiles/s",
+          file=sys.stderr)
+    det_hr = Detector(host_resize=True, precision=precision,
+                      int8_downsample=int8_ds)
+    if precision != "bf16":
+        det_hr.calibrate(small)
+    t_hr = measure(det_hr, jax.device_put(small), iters, 1)
+    print(f"# host-resized 416² input variant: {batch / t_hr:.0f} tiles/s",
+          file=sys.stderr)
 
-    # diagnostic: host-fed streaming through the harness tunnel
     n_stream = max(4, iters // 6)
     bufs = [np.ascontiguousarray(small + i) for i in range(2)]
     t0 = time.perf_counter()
     for i in range(n_stream):
-        out = det(bufs[i % 2])
+        out = det_hr(bufs[i % 2])
     jax.block_until_ready(out)
     stream_tps = batch * n_stream / (time.perf_counter() - t0)
-    print(f"# host-fed streaming through harness tunnel: {stream_tps:.1f} tiles/s "
-          f"(link-bound; see bench.py docstring)", file=sys.stderr)
+    print(f"# host-fed streaming through harness tunnel: {stream_tps:.1f} "
+          f"tiles/s (link-bound; see bench.py docstring)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "wsi_tiles_per_sec_per_chip_1536px_b16",
