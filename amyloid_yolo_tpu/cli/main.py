@@ -28,6 +28,17 @@ def _truthy(v) -> bool:
     return str(v) == "True" or str(v).lower() == "true" or str(v) == "1"
 
 
+def _fast_path_kwargs(args) -> dict:
+    """Detector kwargs for ``--fast_path True``: the gated non-parity fast
+    stack (int8 early backbone + lazy sparse decode + approx top-k) —
+    accuracy-gated on the 200 real prospective images (BENCH.md,
+    ``tools/fastpath_gate.py``).  Default off = box-for-box parity."""
+    if not _truthy(getattr(args, "fast_path", False)):
+        return {}
+    return {"precision": "int8_early", "int8_downsample": 32,
+            "lazy_decode": True, "approx_topk": True}
+
+
 def cmd_train(args) -> int:
     from ..training import Trainer, TrainConfig
 
@@ -99,7 +110,7 @@ def cmd_detect(args) -> int:
     classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
         else ["CAA", "Cored"]
     det = Detector(spec, params, conf_thres=args.conf_thres, nms_thres=args.nms_thres,
-                   model_size=args.img_size)
+                   model_size=args.img_size, **_fast_path_kwargs(args))
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -150,7 +161,8 @@ def cmd_sweep(args) -> int:
 
         mesh = make_mesh(args.data_parallel)
     det = Detector(spec, params, conf_thres=args.conf_thres,
-                   nms_thres=args.nms_thres, mesh=mesh)
+                   nms_thres=args.nms_thres, mesh=mesh,
+                   **_fast_path_kwargs(args))
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -291,6 +303,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DCT-scaled JPEG decode on the native host path "
                         "(~12%% faster single-core; pixels are the scaled "
                         "rendition, not bit-identical)")
+    d.add_argument("--fast_path", type=str, default="False",
+                   help="int8 early backbone + lazy decode + approx top-k "
+                        "(gated fast stack; ~40%% faster, non-parity)")
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("sweep")
@@ -315,6 +330,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "boundary-straddling plaques)")
     s.add_argument("--data_parallel", type=int, default=None,
                    help="shard inference batches over an N-chip dp mesh")
+    s.add_argument("--fast_path", type=str, default="False",
+                   help="int8 early backbone + lazy decode + approx top-k "
+                        "(gated fast stack; ~40%% faster, non-parity)")
     s.set_defaults(fn=cmd_sweep)
 
     c = sub.add_parser("crop")

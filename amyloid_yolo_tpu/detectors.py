@@ -82,6 +82,9 @@ class Detector:
         precision: str = "bf16",
         int8_compute: bool = True,
         int8_downsample: int = 4,
+        pallas_blocks: bool = False,
+        approx_topk: bool = False,
+        lazy_decode: bool = False,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -90,6 +93,16 @@ class Detector:
         self.fold_bn = fold_bn
         self.conf_thres = conf_thres
         self.nms_thres = nms_thres
+        # approx_topk: select the NMS candidate pool with the TPU-native
+        # approx_max_k PartialReduce instead of an exact sort.  Non-parity
+        # fast path; accuracy-gated on the real prospective set (see
+        # ops/nms.py docstring + BENCH.md).
+        self.approx_topk = approx_topk
+        # lazy_decode: score → top-k → sparse decode (heads.decode_topk)
+        # instead of decoding all ~10.6k anchor rows densely.  Bit-identical
+        # outputs to the dense path (same ops on the selected rows, same
+        # tie order — tests/test_heads_lazy.py); pure perf restructure.
+        self.lazy_decode = lazy_decode
         self.model_size = model_size
         self.tile_size = tile_size
         self.capacity = capacity
@@ -107,6 +120,20 @@ class Detector:
             self.params, self.spec, self._int8_upto)
             if precision == "int8_early" else None)
         self._act_scales: Optional[Dict[str, float]] = None
+        # pallas_blocks: replace every fusible residual unit with the fused
+        # Pallas kernel (conv1x1+leaky → conv3x3+leaky → add in one VMEM
+        # pass — pallas/conv_block.py).  bf16 path only; numerics match the
+        # XLA path to bf16 rounding (not bit-exact: the 3x3 accumulates in
+        # f32 via taps instead of XLA's conv schedule).
+        if pallas_blocks and precision != "bf16":
+            raise ValueError("pallas_blocks currently supports precision='bf16'")
+        if pallas_blocks and not fold_bn:
+            raise ValueError("pallas_blocks requires fold_bn=True")
+        self.pallas_blocks = pallas_blocks
+        # min_ch=128 keeps the 208²-map stage on the XLA path (its whole-
+        # image VMEM footprint exceeds the v5e budget; see pack_pallas_blocks)
+        self._pallas_packs = (darknet.pack_pallas_blocks(
+            self.params, self.spec, min_ch=128) if pallas_blocks else None)
         # host_resize: the nearest resize is a pure index gather, so it can
         # run host-side on uint8 before transfer with bit-identical results —
         # shrinking host→device traffic ~13x (1536²→416²).  Use it when the
@@ -124,6 +151,9 @@ class Detector:
             self.params = jax.device_put(self.params, replicated(mesh))
             if self._qparams is not None:
                 self._qparams = jax.device_put(self._qparams, replicated(mesh))
+            if self._pallas_packs is not None:
+                self._pallas_packs = jax.device_put(self._pallas_packs,
+                                                    replicated(mesh))
         # int8_early defers compilation until activation scales exist
         # (calibrate() explicitly, or lazily on the first batch)
         self._fn = self._build() if self.precision == "bf16" else None
@@ -134,6 +164,8 @@ class Detector:
         tile_size = self.tile_size
         conf, nmst, cap = self.conf_thres, self.nms_thres, self.capacity
         pool = self.nms_pool
+        approx_topk = self.approx_topk
+        lazy_decode = self.lazy_decode
         dtype = self.compute_dtype
         fold = self.fold_bn
 
@@ -143,6 +175,7 @@ class Detector:
         act_scales = self._act_scales
         int8_upto = self._int8_upto
         int8_compute = self.int8_compute
+        pallas_packs = self._pallas_packs
 
         @jax.jit
         def run(params, tiles_u8):
@@ -156,12 +189,23 @@ class Detector:
                     upto=int8_upto, compute_dtype=dtype,
                     int8_compute=int8_compute)
             elif fold:
-                maps = darknet.apply_folded(params, spec, x, compute_dtype=dtype)
+                maps = darknet.apply_folded(
+                    params, spec, x, compute_dtype=dtype,
+                    pallas_packs=pallas_packs,
+                    # Mosaic kernels need a TPU; CPU (tests) interprets
+                    pallas_interpret=jax.default_backend() == "cpu")
             else:
                 maps, _ = darknet.apply(params, spec, x, compute_dtype=dtype)
-            pred = heads.decode_all(maps, spec, model_size)
-            dets, valid = nms_ops.non_max_suppression(pred, conf, nmst, cap,
-                                                      pool=pool)
+            if lazy_decode:
+                det, scores = heads.decode_topk(
+                    maps, spec, model_size, conf, pool or cap,
+                    approx_topk=approx_topk)
+                dets, valid = nms_ops.non_max_suppression_pooled(
+                    det, scores, nmst, cap)
+            else:
+                pred = heads.decode_all(maps, spec, model_size)
+                dets, valid = nms_ops.non_max_suppression(
+                    pred, conf, nmst, cap, pool=pool, approx_topk=approx_topk)
             dets = rescale_boxes_jnp(dets, model_size, tile_size, tile_size)
             return dets, valid
 

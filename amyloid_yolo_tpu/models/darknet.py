@@ -245,12 +245,70 @@ def fold_batchnorm(params: Params, spec: GraphSpec) -> Params:
     return folded
 
 
+def fusible_residual_blocks(spec: GraphSpec) -> Dict[int, Tuple[int, int, int]]:
+    """Map start-index → (conv1x1, conv3x3, shortcut) for Darknet residual
+    units the fused Pallas kernel can replace.
+
+    A unit is fusible when it is the exact reference pattern
+    (``models.py:26-51`` + shortcut at ``:246-248``): 1x1/s1 conv+BN+leaky,
+    3x3/s1 conv+BN+leaky, shortcut from the block input — and neither
+    intermediate is read by any later route/shortcut.
+    """
+    blocks: Dict[int, Tuple[int, int, int]] = {}
+    for i, layer in enumerate(spec.layers):
+        if i + 2 >= len(spec.layers):
+            break
+        c1, c2, sc = layer, spec.layers[i + 1], spec.layers[i + 2]
+        if not (isinstance(c1, ConvSpec) and c1.kernel == 1 and c1.stride == 1
+                and c1.batch_normalize and c1.activation == "leaky"):
+            continue
+        if not (isinstance(c2, ConvSpec) and c2.kernel == 3 and c2.stride == 1
+                and c2.batch_normalize and c2.activation == "leaky"
+                and c2.in_ch == c1.out_ch and c2.out_ch == c1.in_ch):
+            continue
+        if not (isinstance(sc, ShortcutSpec) and sc.from_index == i - 1):
+            continue
+        # intermediates must not escape the block (conv2's output is read by
+        # the block's own shortcut, which the consumer sets record)
+        if spec.consumers[i] - {i + 1} or spec.consumers[i + 1] - {i + 2}:
+            continue
+        blocks[i] = (i, i + 1, i + 2)
+    return blocks
+
+
+def pack_pallas_blocks(folded: Params, spec: GraphSpec,
+                       upto: Optional[int] = None,
+                       min_ch: int = 0) -> Dict[int, tuple]:
+    """Pack folded weights of every fusible residual unit (< ``upto``,
+    block channels >= ``min_ch``) into the fused kernel's layouts
+    (:mod:`amyloid_yolo_tpu.pallas.conv_block`).
+
+    ``min_ch`` skips the highest-resolution stages whose whole-image maps
+    exceed the kernel's VMEM budget (208² x 64ch at batch-16 needs a strip
+    variant; 104²+/128ch+ fit on v5e).
+    """
+    from ..pallas.conv_block import pack_block_weights
+
+    packs: Dict[int, tuple] = {}
+    for i in fusible_residual_blocks(spec):
+        if upto is not None and i >= upto:
+            continue
+        if spec.layers[i].in_ch < min_ch:  # type: ignore[union-attr]
+            continue
+        packs[i] = pack_block_weights(
+            folded[f"conv_{i}"]["w"], folded[f"conv_{i}"]["b"],
+            folded[f"conv_{i + 1}"]["w"], folded[f"conv_{i + 1}"]["b"])
+    return packs
+
+
 def apply_folded(
     folded: Params,
     spec: GraphSpec,
     x: jnp.ndarray,
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    pallas_packs: Optional[Dict[int, tuple]] = None,
+    pallas_interpret: bool = False,
 ) -> List[jnp.ndarray]:
     """Inference-only forward over BN-folded params (bf16 by default).
 
@@ -258,6 +316,10 @@ def apply_folded(
     emitting bf16 conv outputs was measured on v5e and saved nothing
     (12.64 vs 12.65 ms — XLA already fuses the convert), so the exact
     variant stays.
+
+    ``pallas_packs`` (from :func:`pack_pallas_blocks`) replaces each packed
+    residual unit with the single fused Pallas kernel — one HBM read/write
+    per unit instead of three.
     """
     if x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
@@ -270,7 +332,24 @@ def apply_folded(
     saved: Dict[int, jnp.ndarray] = {}
     head_maps: List[jnp.ndarray] = []
     prev = x
+    skip_until = -1
     for i, layer in enumerate(spec.layers):
+        if i < skip_until:
+            continue
+        if pallas_packs is not None and i in pallas_packs:
+            from ..pallas.conv_block import fused_residual_block
+
+            out = fused_residual_block(prev, *pallas_packs[i],
+                                       interpret=pallas_interpret)
+            i_sc = i + 2  # liveness bookkeeping happens at the shortcut index
+            if i_sc in last_use:
+                saved[i_sc] = out
+            for k in [k for k, lu in last_use.items()
+                      if i <= lu <= i_sc and k in saved and k != i_sc]:
+                del saved[k]
+            prev = out
+            skip_until = i + 3
+            continue
         if isinstance(layer, ConvSpec):
             w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
             out = _conv(prev, w, layer.stride, layer.pad)
@@ -508,5 +587,6 @@ def apply_folded_int8(
 __all__ = [
     "Params", "init_params", "apply", "apply_folded", "fold_batchnorm",
     "int8_region", "quantize_folded_int8", "calibrate_act_scales",
-    "apply_folded_int8", "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
+    "apply_folded_int8", "fusible_residual_blocks", "pack_pallas_blocks",
+    "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
 ]

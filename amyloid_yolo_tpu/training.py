@@ -169,6 +169,10 @@ class Trainer:
 
             if epoch % cfg.checkpoint_interval == 0:
                 self.save_checkpoint(epoch)
+        if cfg.epochs and (cfg.epochs - 1) % cfg.checkpoint_interval != 0:
+            # the reference's modulo rule (train.py:205) never saves the
+            # final epoch unless it lands on the interval; always keep it
+            self.save_checkpoint(cfg.epochs - 1)
         print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
         print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
         print("Best CAA mAP: {} @ epoch: {}".format(*self.best["CAA"]))

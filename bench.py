@@ -11,11 +11,14 @@ Methodology (and what each printed line means):
 
 * **Headline (stdout JSON)**: steady-state throughput of the full device
   pipeline with device-resident 1536² uint8 input — every stage including
-  the 1536→416 gather runs on-chip in the timed loop.  Precision is the
-  shipped fast path (``precision=int8_early, int8_downsample=32`` — accuracy-gated against the bf16
-  pipeline on the 200 real prospective images (mAP@0.5 delta +0.02, see PARITY.md); set
-  ``BENCH_PRECISION=bf16`` for the box-for-box parity pipeline).  Measured
-  over 40 dispatches × 2 repetitions (best), blocked at the end.
+  the 1536→416 gather runs on-chip in the timed loop.  Configuration is
+  the shipped fast stack (``precision=int8_early, int8_downsample=32`` +
+  lazy sparse decode + approx top-k) — every piece accuracy-gated on the
+  200 real prospective images (mAP@0.5 ≥ the bf16 parity pipeline's; see
+  BENCH.md gate tables / ``tools/fastpath_gate.py``).  Set
+  ``BENCH_PRECISION=bf16 BENCH_LAZY=0 BENCH_APPROX=0`` for the box-for-box
+  parity pipeline.  Measured over 40 dispatches × 2 repetitions (best),
+  blocked at the end.
 * **Diagnostics (stderr)**: the bf16 parity pipeline, the host-resized
   (416² input) variant, and host-fed streaming through this dev harness's
   ~35 MB/s TPU tunnel (link-bound; a production PCIe host moves the 416²
@@ -67,6 +70,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     precision = os.environ.get("BENCH_PRECISION", "int8_early")
     int8_ds = int(os.environ.get("BENCH_INT8_DS", "32"))
+    # lazy sparse decode + approx top-k: bit-identical / gate-passing fast
+    # paths (BENCH.md "approx top-k", tools/fastpath_gate.py)
+    lazy = os.environ.get("BENCH_LAZY", "1") == "1"
+    approx = os.environ.get("BENCH_APPROX", "1") == "1"
+    fast_kw = dict(lazy_decode=lazy, approx_topk=approx)
 
     rng = np.random.RandomState(0)
     tiles = rng.randint(0, 255, (batch, 1536, 1536, 3)).astype(np.uint8)
@@ -74,7 +82,7 @@ def main():
     small = np.ascontiguousarray(tiles[:, idx][:, :, idx])
 
     # headline: full device pipeline, device-resident 1536² input
-    det = Detector(precision=precision, int8_downsample=int8_ds)
+    det = Detector(precision=precision, int8_downsample=int8_ds, **fast_kw)
     if precision != "bf16":
         det.calibrate(tiles[:2])
     dev_tiles = jax.device_put(tiles)
@@ -87,7 +95,7 @@ def main():
     print(f"# bf16 parity pipeline (device-resize): {batch / t_bf16:.0f} tiles/s",
           file=sys.stderr)
     det_hr = Detector(host_resize=True, precision=precision,
-                      int8_downsample=int8_ds)
+                      int8_downsample=int8_ds, **fast_kw)
     if precision != "bf16":
         det_hr.calibrate(small)
     t_hr = measure(det_hr, jax.device_put(small), iters, 1)

@@ -158,3 +158,21 @@ def test_different_classes_not_merged():
     pred[0, 1] = [102, 102, 40, 40, 0.8, 0.9, 0.1]  # class 0
     ragged = non_max_suppression_np(pred, 0.5, 0.4)
     assert ragged[0].shape[0] == 2
+
+
+def test_approx_topk_matches_exact_when_sparse(rng):
+    """At the production operating point only a handful of rows pass
+    conf_thres; the approx candidate pool then equals the exact one and the
+    whole NMS output is identical (the fast path's accuracy story;
+    device-level gate lives in BENCH.md)."""
+    pred = random_preds(rng, b=3, n=512)
+    # make candidates sparse: ~10 rows above 0.8 per image
+    pred[..., 4] = rng.uniform(0.0, 0.5, pred.shape[:2])
+    for i in range(pred.shape[0]):
+        hot = rng.choice(pred.shape[1], 10, replace=False)
+        pred[i, hot, 4] = rng.uniform(0.85, 0.99, 10)
+    a, va = non_max_suppression(jnp.asarray(pred), 0.8, 0.4, capacity=64)
+    b, vb = non_max_suppression(jnp.asarray(pred), 0.8, 0.4, capacity=64,
+                                approx_topk=True)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
