@@ -56,3 +56,18 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded["conv_0"]["w"]), np.asarray(params["conv_0"]["w"]),
         rtol=1e-6)
+
+
+def test_fast_path_kwargs():
+    from amyloid_yolo_tpu.cli.main import _fast_path_kwargs
+
+    p = build_parser()
+    off = p.parse_args(["detect"])
+    assert _fast_path_kwargs(off) == {}
+    on = p.parse_args(["detect", "--fast_path", "True"])
+    kw = _fast_path_kwargs(on)
+    assert kw == {"precision": "int8_early", "int8_downsample": 32,
+                  "lazy_decode": True, "approx_topk": True}
+    sweep_on = p.parse_args(["sweep", "--directory", "d",
+                             "--fast_path", "True"])
+    assert _fast_path_kwargs(sweep_on)["lazy_decode"] is True

@@ -92,3 +92,19 @@ def test_lazy_detector_integration():
     d1, v1 = Detector(params=params, **kw, lazy_decode=True)(tiles)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_lazy_pool_exceeds_anchor_rows():
+    """pool > N pads with -inf scores instead of mis-indexing."""
+    rng = np.random.RandomState(4)
+    spec, maps = random_maps(rng, b=1)
+    n = sum(3 * g * g for g in (IMG // 32, IMG // 16, IMG // 8))
+    det, scores = heads.decode_topk(maps, spec, IMG, 0.5, n + 37)
+    assert det.shape == (1, n + 37, 7)
+    assert np.isneginf(np.asarray(scores)[0, -37:]).all()
+    d, v = nms_ops.non_max_suppression_pooled(det, scores, 0.4, capacity=8)
+    pred = heads.decode_all(maps, spec, IMG)
+    d0, v0 = nms_ops.non_max_suppression(pred, 0.5, 0.4, capacity=8,
+                                         pool=n + 37)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d))
