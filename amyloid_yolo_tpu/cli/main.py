@@ -62,6 +62,7 @@ def cmd_train(args) -> int:
         learning_rate=args.learning_rate,
         burn_in=args.burn_in,
         compute_dtype=args.compute_dtype,
+        cache_images=_truthy(args.cache_images),
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -269,6 +270,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="training compute dtype (bfloat16 = MXU-native; "
                         "params/optimizer/BN stats stay f32)")
+    t.add_argument("--cache_images", type=str, default="False",
+                   help="RAM-cache decoded training images across epochs "
+                        "(~side²·3 bytes/image; JPEG decode dominates the "
+                        "host pipeline otherwise)")
     t.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from "
                         "(restores optimizer state too)")

@@ -56,12 +56,15 @@ class Detector:
         practice; raise ``nms_pool`` (e.g. 256) for low-conf sweeps.
       nms_pool: pre-NMS candidate pool size (default = ``capacity``).
       compute_dtype: bf16 by default — the MXU-native inference dtype.
-      precision: ``"bf16"`` (default, box-for-box parity) or
+      precision: ``"bf16"`` (default, box-for-box parity),
         ``"int8_early"`` — the HBM-bound high-resolution backbone stage
         runs with int8 activations (and int8 MXU convs unless
         ``int8_compute=False``) using static scales calibrated on the
-        first batch (or via :meth:`calibrate`).  Non-parity fast path;
-        measure the accuracy delta on your data before adopting.
+        first batch (or via :meth:`calibrate`) — or ``"int8_full"`` —
+        int8 through the whole graph including the FPN tail, only the
+        three linear head convs staying bf16.  Non-parity fast paths;
+        measure the accuracy delta on your data before adopting
+        (``tools/fastpath_gate.py``).
     """
 
     def __init__(
@@ -108,17 +111,22 @@ class Detector:
         self.capacity = capacity
         self.nms_pool = nms_pool or capacity
         self.compute_dtype = compute_dtype
-        if precision not in ("bf16", "int8_early"):
+        if precision not in ("bf16", "int8_early", "int8_full"):
             raise ValueError(f"unknown precision {precision!r}")
-        if precision == "int8_early" and not fold_bn:
-            raise ValueError("int8_early requires fold_bn=True")
+        if precision.startswith("int8") and not fold_bn:
+            raise ValueError(f"{precision} requires fold_bn=True")
         self.precision = precision
         self.int8_compute = int8_compute
         self._int8_upto = (darknet.int8_region(self.spec, int8_downsample)
                            if precision == "int8_early" else 0)
-        self._qparams = (darknet.quantize_folded_int8(
-            self.params, self.spec, self._int8_upto)
-            if precision == "int8_early" else None)
+        if precision == "int8_early":
+            self._qparams = darknet.quantize_folded_int8(
+                self.params, self.spec, self._int8_upto)
+        elif precision == "int8_full":
+            self._qparams = darknet.quantize_folded_int8_full(
+                self.params, self.spec)
+        else:
+            self._qparams = None
         self._act_scales: Optional[Dict[str, float]] = None
         # pallas_blocks: replace every fusible residual unit with the fused
         # Pallas kernel (conv1x1+leaky → conv3x3+leaky → add in one VMEM
@@ -188,6 +196,10 @@ class Detector:
                     params, qparams, act_scales, spec, x,
                     upto=int8_upto, compute_dtype=dtype,
                     int8_compute=int8_compute)
+            elif precision == "int8_full":
+                maps = darknet.apply_folded_int8_full(
+                    params, qparams, act_scales, spec, x,
+                    compute_dtype=dtype)
             elif fold:
                 maps = darknet.apply_folded(
                     params, spec, x, compute_dtype=dtype,
@@ -214,15 +226,19 @@ class Detector:
     def calibrate(self, tiles_u8: np.ndarray) -> Dict[str, float]:
         """Compute static int8 activation scales from a representative batch
         and compile the int8 pipeline (no-op for bf16 precision)."""
-        if self.precision != "int8_early":
+        if not self.precision.startswith("int8"):
             return {}
         tiles = jnp.asarray(tiles_u8)
         if self.host_resize:
             x = tiles.astype(jnp.float32) / 255.0
         else:
             x = preprocess_tiles(tiles, self.model_size)
-        self._act_scales = darknet.calibrate_act_scales(
-            self.params, self.spec, x, self._int8_upto)
+        if self.precision == "int8_full":
+            self._act_scales = darknet.calibrate_act_scales_full(
+                self.params, self.spec, x)
+        else:
+            self._act_scales = darknet.calibrate_act_scales(
+                self.params, self.spec, x, self._int8_upto)
         self._fn = self._build()
         return self._act_scales
 

@@ -251,6 +251,7 @@ class ListDataset:
         max_objects: int = 100,
         augment: bool = True,
         seed: int = 0,
+        cache_images: bool = False,
     ):
         with open(list_path, "r") as fh:
             self.img_files = [ln.rstrip() for ln in fh.readlines() if ln.strip()]
@@ -266,6 +267,14 @@ class ListDataset:
         self.augment = augment
         self.batch_count = 0
         self._rng = random.Random(seed)
+        # cache_images: keep each decoded, padded-square uint8 image (and
+        # its normalized labels) in RAM after the first epoch — JPEG decode
+        # is the host pipeline's dominant cost and the reference re-decodes
+        # every epoch (utils/datasets.py:88).  Costs ~side²·3 bytes/image
+        # (1536² tiles ≈ 7 MB each); sizes the set before enabling.
+        # Randomness is unaffected: augmentation/multiscale happen later.
+        self.cache_images = cache_images
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.img_files)
@@ -274,19 +283,26 @@ class ListDataset:
         """Returns (path, square uint8 HWC image, (n,5) normalized labels)
         or None on any read/parse failure (dropped at collate — parity with
         ``utils/datasets.py:88-127``)."""
-        img_path = self.img_files[index % len(self.img_files)]
+        index = index % len(self.img_files)
+        if self.cache_images and index in self._cache:
+            return self._cache[index]
+        img_path = self.img_files[index]
         try:
             img = load_image_rgb(img_path)
         except Exception:
             print(f"Could not read image '{img_path}'.")
+            if self.cache_images:
+                self._cache[index] = None
             return None
-        label_path = self.label_files[index % len(self.img_files)]
+        label_path = self.label_files[index]
         try:
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 boxes = np.loadtxt(label_path).reshape(-1, 5).astype(np.float32)
         except Exception:
             print(f"Could not read label '{label_path}'.")
+            if self.cache_images:
+                self._cache[index] = None
             return None
         h, w = img.shape[:2]
         # absolute coords -> pad -> renormalize (transforms.py:56-86 chain)
@@ -301,7 +317,10 @@ class ListDataset:
         boxes[:, 2] = (boxes[:, 2] + pt) / side
         boxes[:, 3] = boxes[:, 3] / side
         boxes[:, 4] = boxes[:, 4] / side
-        return img_path, img, boxes
+        item = (img_path, img, boxes)
+        if self.cache_images:
+            self._cache[index] = item
+        return item
 
     def next_size(self) -> int:
         """Multiscale schedule: new size every 10th batch (``:132-133``)."""

@@ -584,9 +584,201 @@ def apply_folded_int8(
     return head_maps
 
 
+# ---------------------------------------------------------------------------
+# int8 full graph (non-parity fast path, one step past int8_early)
+#
+# Quantizes every conv+BN+leaky unit in the WHOLE graph — backbone AND the
+# FPN tail — keeping only the three linear 1x1 head convs in bf16 (their
+# outputs feed the box decode directly, so quantization error there moves
+# boxes first).  Routes concatenate in int8 by rescaling each branch to the
+# route output's calibrated scale; upsample passes int8 through; shortcuts
+# dequant-add-requant.  Same reference semantics being accelerated as
+# apply_folded (``/root/reference/models.py:237-255``).
+# ---------------------------------------------------------------------------
+
+def int8_full_conv_indices(spec: GraphSpec) -> set:
+    """Conv indices to quantize for the full-graph path: every conv except
+    the linear head convs (activation != leaky feeding a yolo layer)."""
+    keep_bf16 = set()
+    for i, layer in enumerate(spec.layers):
+        if isinstance(layer, ConvSpec) and layer.activation != "leaky":
+            keep_bf16.add(i)
+    return {i for i in spec.conv_indices if i not in keep_bf16}
+
+
+def quantize_folded_int8_full(folded: Params, spec: GraphSpec) -> Params:
+    """Per-output-channel symmetric int8 weights for every quantized conv."""
+    q: Params = {}
+    for i in int8_full_conv_indices(spec):
+        w = np.asarray(folded[f"conv_{i}"]["w"], np.float32)
+        s = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+        s = np.maximum(s, 1e-12)
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        q[f"conv_{i}"] = {
+            "wq": jnp.asarray(wq),
+            "ws": jnp.asarray(s, jnp.float32),
+            "b": jnp.asarray(np.asarray(folded[f"conv_{i}"]["b"], np.float32)),
+        }
+    return q
+
+
+def calibrate_act_scales_full(folded: Params, spec: GraphSpec,
+                              x: jnp.ndarray) -> Dict[str, float]:
+    """amax/127 per layer output over the full graph (f32 probe forward)."""
+    @jax.jit
+    def probe(params, xin):
+        amax: Dict[str, jnp.ndarray] = {"in": jnp.max(jnp.abs(xin))}
+        saved: Dict[int, jnp.ndarray] = {}
+        prev = xin
+        for i, layer in enumerate(spec.layers):
+            if isinstance(layer, ConvSpec):
+                out = _conv(prev, params[f"conv_{i}"]["w"], layer.stride,
+                            layer.pad)
+                out = out + params[f"conv_{i}"]["b"]
+                if layer.activation == "leaky":
+                    out = _leaky(out)
+            elif isinstance(layer, ShortcutSpec):
+                out = prev + saved[layer.from_index]
+            elif isinstance(layer, MaxPoolSpec):
+                out = _maxpool(prev, layer.kernel, layer.stride)
+            elif isinstance(layer, UpsampleSpec):
+                out = _upsample(prev, layer.factor)
+            elif isinstance(layer, RouteSpec):
+                out = jnp.concatenate(
+                    [saved[s] if s in saved else prev for s in layer.layers],
+                    axis=-1)
+            elif isinstance(layer, YoloSpec):
+                out = prev
+            else:  # pragma: no cover
+                raise TypeError(f"unknown layer spec {layer!r}")
+            amax[str(i)] = jnp.max(jnp.abs(out))
+            saved[i] = out
+            prev = out
+        return amax
+
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    amax = jax.device_get(probe(folded, x))
+    return {k: float(v) / 127.0 + 1e-12 for k, v in amax.items()}
+
+
+def apply_folded_int8_full(
+    folded: Params,
+    qparams: Params,
+    act_scales: Dict[str, float],
+    spec: GraphSpec,
+    x: jnp.ndarray,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> List[jnp.ndarray]:
+    """Full-graph int8 inference forward (head convs bf16).
+
+    Every inter-layer activation is stored int8 with static calibrated
+    scales — half the HBM traffic of bf16 everywhere, int8×int8 MXU convs
+    at 2× bf16 peak — including the FPN tail that ``apply_folded_int8``
+    leaves in bf16.  Route branches are rescaled int8→int8 to the route
+    output's scale so the concat itself stays 1 byte/element.
+    """
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+
+    last_use: Dict[int, int] = {}
+    for i, cons in enumerate(spec.consumers):
+        if cons:
+            last_use[i] = max(cons)
+
+    def quant(y, s):
+        return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+    quantized = int8_full_conv_indices(spec)
+    xs = act_scales["in"]
+    # saved values are (int8 q, scale) pairs; scale None marks a bf16/f32
+    # tensor (head-conv outputs)
+    saved: Dict[int, Tuple[jnp.ndarray, Optional[float]]] = {}
+    head_maps: List[jnp.ndarray] = []
+    prev_q, prev_s = quant(x, xs), xs
+
+    for i, layer in enumerate(spec.layers):
+        out_q, out_s = None, None
+        if isinstance(layer, ConvSpec):
+            if i in quantized:
+                qp = qparams[f"conv_{i}"]
+                y = jax.lax.conv_general_dilated(
+                    prev_q, qp["wq"],
+                    window_strides=(layer.stride, layer.stride),
+                    padding=((layer.pad, layer.pad), (layer.pad, layer.pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.bfloat16,
+                ).astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
+                if layer.activation == "leaky":
+                    y = _leaky(y)
+                out_s = act_scales[str(i)]
+                out_q = quant(y, out_s)
+            else:  # linear head conv: bf16 in, f32 map out (feeds decode)
+                xf = (prev_q.astype(compute_dtype)
+                      * jnp.asarray(prev_s, compute_dtype))
+                w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
+                y = _conv(xf, w, layer.stride, layer.pad).astype(jnp.float32) \
+                    + folded[f"conv_{i}"]["b"]
+                out_q, out_s = y, None
+        elif isinstance(layer, ShortcutSpec):
+            aq, as_ = saved[layer.from_index]
+            y = (prev_q.astype(jnp.float32) * prev_s
+                 + aq.astype(jnp.float32) * as_)
+            out_s = act_scales[str(i)]
+            out_q = quant(y, out_s)
+        elif isinstance(layer, MaxPoolSpec):
+            # max commutes with the positive scale: pool int8 directly
+            out_q = _maxpool_int8(prev_q, layer.kernel, layer.stride)
+            out_s = prev_s
+        elif isinstance(layer, UpsampleSpec):
+            out_q = _upsample(prev_q, layer.factor)
+            out_s = prev_s
+        elif isinstance(layer, RouteSpec):
+            out_s = act_scales[str(i)]
+            parts = []
+            for s_idx in layer.layers:
+                q, s = saved[s_idx] if s_idx in saved else (prev_q, prev_s)
+                if s is None:  # pragma: no cover — routes carry leaky outs
+                    parts.append(quant(q, out_s))
+                else:
+                    parts.append(quant(q.astype(jnp.float32) * s, out_s))
+            out_q = jnp.concatenate(parts, axis=-1)
+        elif isinstance(layer, YoloSpec):
+            assert prev_s is None, "yolo input must be the bf16 head conv"
+            head_maps.append(prev_q)
+            out_q, out_s = prev_q, prev_s
+        else:  # pragma: no cover
+            raise TypeError(f"unknown layer spec {layer!r}")
+        if i in last_use:
+            saved[i] = (out_q, out_s)
+        for k in [k for k, lu in last_use.items() if lu == i and k in saved]:
+            if k != i:
+                del saved[k]
+        prev_q, prev_s = out_q, out_s
+    return head_maps
+
+
+def _maxpool_int8(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """reduce_window max over int8 (same padding rules as _maxpool)."""
+    if kernel == 2 and stride == 1:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                    constant_values=np.int8(0))
+        pads = ((0, 0), (0, 0))
+    else:
+        p = (kernel - 1) // 2
+        pads = ((p, p), (p, p))
+    return jax.lax.reduce_window(
+        x, jnp.asarray(-128, x.dtype), jax.lax.max,
+        (1, kernel, kernel, 1), (1, stride, stride, 1),
+        ((0, 0),) + pads + ((0, 0),))
+
+
 __all__ = [
     "Params", "init_params", "apply", "apply_folded", "fold_batchnorm",
     "int8_region", "quantize_folded_int8", "calibrate_act_scales",
     "apply_folded_int8", "fusible_residual_blocks", "pack_pallas_blocks",
+    "int8_full_conv_indices", "quantize_folded_int8_full",
+    "calibrate_act_scales_full", "apply_folded_int8_full",
     "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
 ]

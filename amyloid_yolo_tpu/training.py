@@ -61,6 +61,7 @@ class TrainConfig:
     data_parallel: Optional[int] = None   # devices in the dp mesh (None = 1)
     verbose: bool = False
     max_batches_per_epoch: Optional[int] = None  # for smoke runs
+    cache_images: bool = False  # RAM-cache decoded images across epochs
 
 
 class Trainer:
@@ -107,7 +108,7 @@ class Trainer:
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         dataset = ListDataset(
             self.train_path, img_size=cfg.img_size, multiscale=cfg.multiscale,
-            augment=cfg.augment, seed=cfg.seed,
+            augment=cfg.augment, seed=cfg.seed, cache_images=cfg.cache_images,
         )
         rng = jax.random.PRNGKey(cfg.seed + 1)
         # grad-accumulation buffer lives only for this run (the reference

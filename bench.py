@@ -4,8 +4,9 @@ Measures the flagship compiled pipeline as one jitted device program:
 
     uint8 1536² tiles (device-resident)
       → on-device nearest 1536→416 + /255
-      → Darknet-53/YOLOv3 (int8 early backbone + bf16 tail by default)
-      → anchor decode → class-aware merging NMS → tile-space boxes
+      → Darknet-53/YOLOv3 (full-graph int8, bf16 head convs, by default)
+      → lazy score→top-k→sparse anchor decode
+      → class-aware merging NMS → tile-space boxes
 
 Methodology (and what each printed line means):
 
@@ -68,7 +69,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "40"))
-    precision = os.environ.get("BENCH_PRECISION", "int8_early")
+    precision = os.environ.get("BENCH_PRECISION", "int8_full")
     int8_ds = int(os.environ.get("BENCH_INT8_DS", "32"))
     # lazy sparse decode + approx top-k: bit-identical / gate-passing fast
     # paths (BENCH.md "approx top-k", tools/fastpath_gate.py)

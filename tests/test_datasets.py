@@ -111,3 +111,48 @@ def test_native_reader_parity_if_available(data_dir):
     batch, ok, dims = pool.decode_batch([str(data_dir / "images" / "bad.jpg")], 256, 0)
     assert not ok[0]
     pool.close()
+
+
+def test_list_dataset_cache_images(tmp_path):
+    """cache_images returns identical samples without re-decoding, and
+    caches corrupt-sample drops too."""
+    import numpy as np
+    from PIL import Image
+
+    from amyloid_yolo_tpu.io.datasets import ListDataset, load_image_rgb
+
+    imgs = tmp_path / "images"
+    labels = tmp_path / "labels"
+    imgs.mkdir(); labels.mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = imgs / f"t{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (64, 48, 3), dtype=np.uint8)).save(p)
+        (labels / f"t{i}.txt").write_text("1 0.5 0.5 0.2 0.2\n")
+        paths.append(str(p))
+    (imgs / "bad.jpg").write_text("nope")
+    (labels / "bad.txt").write_text("1 0.5 0.5 0.2 0.2\n")
+    paths.append(str(imgs / "bad.jpg"))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(paths) + "\n")
+
+    ds = ListDataset(str(lst), img_size=32, multiscale=False, augment=False,
+                     cache_images=True)
+    first = [ds[i] for i in range(len(ds))]
+    assert first[3] is None and len(ds._cache) == 4
+    # poison the decode path: cached reads must not touch the files
+    for p in paths[:3]:
+        import os
+        os.unlink(p)
+    second = [ds[i] for i in range(len(ds))]
+    for a, b in zip(first, second):
+        if a is None:
+            assert b is None
+            continue
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
+    # uncached dataset would fail now
+    ds2 = ListDataset(str(lst), img_size=32, multiscale=False, augment=False)
+    assert ds2[0] is None

@@ -41,6 +41,8 @@ VARIANTS = [
     ("int8ds32_lazy_approx", {"precision": "int8_early",
                               "int8_downsample": 32,
                               "lazy_decode": True, "approx_topk": True}),
+    ("int8full_lazy_approx", {"precision": "int8_full",
+                              "lazy_decode": True, "approx_topk": True}),
 ]
 
 
@@ -167,7 +169,7 @@ def main() -> int:
                                    "lazy_decode": True})]:
             det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
                            host_resize=True, **kw)
-            if det.precision == "int8_early":
+            if det.precision.startswith("int8"):
                 det.calibrate(np.asarray(small))
             ms = measure(det, small) * 1e3
             timing[tag] = round(ms, 2)
