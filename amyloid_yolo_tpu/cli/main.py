@@ -63,6 +63,7 @@ def cmd_train(args) -> int:
         burn_in=args.burn_in,
         compute_dtype=args.compute_dtype,
         cache_images=_truthy(args.cache_images),
+        host_resize=_truthy(args.host_resize),
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -274,6 +275,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RAM-cache decoded training images across epochs "
                         "(~side²·3 bytes/image; JPEG decode dominates the "
                         "host pipeline otherwise)")
+    t.add_argument("--host_resize", type=str, default="False",
+                   help="apply the (bit-identical) nearest multiscale "
+                        "resize on the host before transfer — ~13x less "
+                        "host→device traffic; use on thin links")
     t.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from "
                         "(restores optimizer state too)")

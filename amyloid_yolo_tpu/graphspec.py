@@ -400,11 +400,19 @@ def emit_cfg(spec: GraphSpec) -> str:
             out.append("activation=linear")
         elif isinstance(l, YoloSpec):
             out.append("[yolo]")
-            mask = tuple(YOLOV3_ANCHORS.index(a) for a in l.anchors)
+            if all(a in YOLOV3_ANCHORS for a in l.anchors):
+                # standard table: recover the reference cfg's mask indices
+                mask = tuple(YOLOV3_ANCHORS.index(a) for a in l.anchors)
+                anchors, num = flat_anchors, 9
+            else:  # non-standard anchors (e.g. tiny cfgs): emit as-is
+                mask = tuple(range(len(l.anchors)))
+                anchors = ",  ".join(f"{int(w)},{int(h)}"
+                                     for w, h in l.anchors)
+                num = len(l.anchors)
             out.append("mask=" + ",".join(str(m) for m in mask))
-            out.append(f"anchors={flat_anchors}")
+            out.append(f"anchors={anchors}")
             out.append(f"classes={l.num_classes}")
-            out.append("num=9")
+            out.append(f"num={num}")
             out.append("jitter=.3")
             out.append("ignore_thresh=.7")
             out.append("truth_thresh=1")

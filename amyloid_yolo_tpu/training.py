@@ -62,6 +62,7 @@ class TrainConfig:
     verbose: bool = False
     max_batches_per_epoch: Optional[int] = None  # for smoke runs
     cache_images: bool = False  # RAM-cache decoded images across epochs
+    host_resize: bool = False   # bit-identical nearest resize before transfer
 
 
 class Trainer:
@@ -109,6 +110,7 @@ class Trainer:
         dataset = ListDataset(
             self.train_path, img_size=cfg.img_size, multiscale=cfg.multiscale,
             augment=cfg.augment, seed=cfg.seed, cache_images=cfg.cache_images,
+            host_resize=cfg.host_resize,
         )
         rng = jax.random.PRNGKey(cfg.seed + 1)
         # grad-accumulation buffer lives only for this run (the reference

@@ -156,3 +156,40 @@ def test_list_dataset_cache_images(tmp_path):
     # uncached dataset would fail now
     ds2 = ListDataset(str(lst), img_size=32, multiscale=False, augment=False)
     assert ds2[0] is None
+
+
+def test_list_dataset_host_resize_bit_identical(tmp_path):
+    """host_resize moves the nearest gather to the host; after the train
+    step's device resize (identity once sizes match) the pixels are
+    bit-identical to the device-resized full-res batch."""
+    import numpy as np
+    from PIL import Image
+
+    from amyloid_yolo_tpu.io.datasets import ListDataset
+    from amyloid_yolo_tpu.ops.preprocess import resize_nearest
+
+    imgs = tmp_path / "images"
+    labels = tmp_path / "labels"
+    imgs.mkdir(); labels.mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        p = imgs / f"t{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (96, 96, 3), dtype=np.uint8)).save(p)
+        (labels / f"t{i}.txt").write_text("1 0.5 0.5 0.2 0.2\n")
+        paths.append(str(p))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(paths) + "\n")
+
+    kw = dict(img_size=32, multiscale=True, augment=False, seed=3)
+    full = ListDataset(str(lst), **kw)
+    host = ListDataset(str(lst), host_resize=True, **kw)
+    for b_full, b_host in zip(full.iter_epoch(2, shuffle=False),
+                              host.iter_epoch(2, shuffle=False)):
+        assert b_full["img_size"] == b_host["img_size"]  # same RNG stream
+        s = b_full["img_size"]
+        want = np.asarray(resize_nearest(b_full["images"], s))
+        got = np.asarray(resize_nearest(b_host["images"], s))  # identity
+        assert b_host["images"].shape[1] == s
+        np.testing.assert_array_equal(want, got)
+        np.testing.assert_array_equal(b_full["targets"], b_host["targets"])
