@@ -598,10 +598,16 @@ def apply_folded_int8(
 
 def int8_full_conv_indices(spec: GraphSpec) -> set:
     """Conv indices to quantize for the full-graph path: every conv except
-    the linear head convs (activation != leaky feeding a yolo layer)."""
+    (a) the linear head convs (activation != leaky — their outputs feed the
+    box decode directly) and (b) tiny-input-channel stems (in_ch < 8, i.e.
+    the RGB 3→32 conv): the int8 MXU tile utilization there is terrible —
+    measured 1.27 ms for a 1.6 GFLOP conv (1.3 TFLOP/s); running the stem
+    in bf16 and requantizing its output is 0.18 ms/batch faster end-to-end.
+    """
     keep_bf16 = set()
     for i, layer in enumerate(spec.layers):
-        if isinstance(layer, ConvSpec) and layer.activation != "leaky":
+        if isinstance(layer, ConvSpec) and (layer.activation != "leaky"
+                                            or layer.in_ch < 8):
             keep_bf16.add(i)
     return {i for i in spec.conv_indices if i not in keep_bf16}
 
@@ -714,13 +720,20 @@ def apply_folded_int8_full(
                     y = _leaky(y)
                 out_s = act_scales[str(i)]
                 out_q = quant(y, out_s)
-            else:  # linear head conv: bf16 in, f32 map out (feeds decode)
+            else:  # bf16 conv (linear head conv, or an excluded leaky conv
+                #       — e.g. the 3-channel stem, whose int8 MXU tile
+                #       utilization is terrible)
                 xf = (prev_q.astype(compute_dtype)
                       * jnp.asarray(prev_s, compute_dtype))
                 w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
                 y = _conv(xf, w, layer.stride, layer.pad).astype(jnp.float32) \
                     + folded[f"conv_{i}"]["b"]
-                out_q, out_s = y, None
+                if layer.activation == "leaky":
+                    y = _leaky(y)
+                    out_s = act_scales[str(i)]  # back to int8 downstream
+                    out_q = quant(y, out_s)
+                else:
+                    out_q, out_s = y, None  # f32 map feeds the decode
         elif isinstance(layer, ShortcutSpec):
             aq, as_ = saved[layer.from_index]
             y = (prev_q.astype(jnp.float32) * prev_s

@@ -30,9 +30,20 @@ def test_quantized_set_excludes_head_convs(setup):
     q = darknet.int8_full_conv_indices(spec)
     linear = {i for i, l in enumerate(spec.layers)
               if isinstance(l, ConvSpec) and l.activation != "leaky"}
+    stem = {i for i, l in enumerate(spec.layers)
+            if isinstance(l, ConvSpec) and l.in_ch < 8}
     assert len(linear) == 3  # three head convs in the YOLOv3 shape
-    assert not (q & linear)
-    assert q == set(spec.conv_indices) - linear
+    assert not (q & (linear | stem))
+    assert q == set(spec.conv_indices) - linear - stem
+
+    # on the real model the tiny-in_ch rule excludes exactly the RGB stem
+    from amyloid_yolo_tpu.graphspec import yolov3_spec
+
+    full = yolov3_spec(num_classes=2)
+    qf = darknet.int8_full_conv_indices(full)
+    assert 0 not in qf
+    assert {i for i in full.conv_indices
+            if i not in qf and full.layers[i].activation == "leaky"} == {0}
 
 
 def test_int8_full_close_to_f32(setup):
