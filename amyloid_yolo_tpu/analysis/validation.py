@@ -32,7 +32,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..detectors import Detector
+from ..detectors import Detector, resolve_batch_size
 from ..domain import CAAFilter, draw_detections
 from ..io.datasets import ImageFolder, load_image_rgb
 from ..io.tiles import iter_wsi_tile_dirs, tile_origin
@@ -106,7 +106,8 @@ def calculate_plaque_counts_per_wsi(
         dets_by_path: Dict[str, Optional[np.ndarray]] = {}
         for tile_dir in tile_dirs:
             folder = ImageFolder(tile_dir, tile_size=detector.tile_size)
-            for paths, batch, n_valid in folder.iter_batches(batch_size):
+            bs = resolve_batch_size(batch_size, len(folder))
+            for paths, batch, n_valid in folder.iter_batches(bs):
                 ragged = detector.detect_batch_ragged(batch)
                 for path, dets in list(zip(paths, ragged))[:n_valid]:
                     tile_counts[wsi].setdefault(path, {"Cored": 0, "CAA": 0})

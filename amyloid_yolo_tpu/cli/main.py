@@ -30,13 +30,22 @@ def _truthy(v) -> bool:
 
 def _fast_path_kwargs(args) -> dict:
     """Detector kwargs for ``--fast_path True``: the gated non-parity fast
-    stack (int8 early backbone + lazy sparse decode + approx top-k) —
-    accuracy-gated on the 200 real prospective images (BENCH.md,
-    ``tools/fastpath_gate.py``).  Default off = box-for-box parity."""
+    stack (int8 + lazy sparse decode + approx top-k) — accuracy-gated on
+    the 200 real prospective images (BENCH.md, ``tools/fastpath_gate.py``).
+    Default off = box-for-box parity.
+
+    ``--precision`` selects the int8 flavor: the default ``int8_early``
+    (conservative: backbone-prefix int8) or ``int8_full`` — the bench.py
+    headline stack (whole-graph int8, bf16 stem/head convs, s2d stem)."""
     if not _truthy(getattr(args, "fast_path", False)):
         return {}
-    return {"precision": "int8_early", "int8_downsample": 32,
-            "lazy_decode": True, "approx_topk": True}
+    precision = getattr(args, "precision", None) or "int8_early"
+    kw = {"precision": precision, "lazy_decode": True, "approx_topk": True}
+    if precision == "int8_early":
+        kw["int8_downsample"] = 32
+    elif precision == "int8_full":
+        kw["s2d_stem"] = True
+    return kw
 
 
 def cmd_train(args) -> int:
@@ -300,7 +309,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--class_path", type=str, default="data/custom/classes.names")
     d.add_argument("--conf_thres", type=float, default=0.8)
     d.add_argument("--nms_thres", type=float, default=0.4)
-    d.add_argument("--batch_size", type=int, default=8)
+    d.add_argument("--batch_size", default="8",
+                   help="int, or 'auto' (32 for deep queues, else 16)")
     d.add_argument("--img_size", type=int, default=416)
     d.add_argument("--output_dir", type=str, default="output")
     d.add_argument("--merge_boxes", type=str, default="False")
@@ -313,6 +323,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DCT-scaled JPEG decode on the native host path "
                         "(~12%% faster single-core; pixels are the scaled "
                         "rendition, not bit-identical)")
+    d.add_argument("--precision", type=str, default=None,
+                   choices=["int8_early", "int8_full"],
+                   help="int8 flavor for --fast_path (default int8_early)")
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
@@ -326,7 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pickles_dir", type=str, default="pickles")
     s.add_argument("--conf_thres", type=float, default=0.8)
     s.add_argument("--nms_thres", type=float, default=0.4)
-    s.add_argument("--batch_size", type=int, default=8)
+    s.add_argument("--batch_size", default="8",
+                   help="int, or 'auto' (32 for deep queues, else 16)")
     s.add_argument("--save_images", type=str, default="False")
     s.add_argument("--filter_CAA_detections_by_model", type=str, default="True")
     s.add_argument("--caa_model_pickle", type=str,
@@ -340,6 +354,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "boundary-straddling plaques)")
     s.add_argument("--data_parallel", type=int, default=None,
                    help="shard inference batches over an N-chip dp mesh")
+    s.add_argument("--precision", type=str, default=None,
+                   choices=["int8_early", "int8_full"],
+                   help="int8 flavor for --fast_path (default int8_early)")
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")

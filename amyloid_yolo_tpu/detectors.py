@@ -38,6 +38,22 @@ from .ops.boxes import rescale_boxes_jnp
 from .ops.preprocess import preprocess_tiles
 
 
+def resolve_batch_size(batch_size, n_images: int) -> int:
+    """Resolve a ``--batch_size`` value that may be ``"auto"``.
+
+    ``"auto"`` picks the measured-faster batch 32 when the work queue is
+    deep enough to fill it (≥ 2 full batches — 2205 vs 1935 tiles/s at
+    batch 16, BENCH.md "batch scaling") and the reference-parity batch 16
+    otherwise (short queues would pay b32's padding + a second program
+    compile for nothing).  Integers and numeric strings pass through.
+    """
+    if isinstance(batch_size, str):
+        if batch_size.strip().lower() == "auto":
+            return 32 if n_images >= 64 else 16
+        return int(batch_size)
+    return int(batch_size)
+
+
 class Detector:
     """Compiled batched tile detector.
 
@@ -88,6 +104,7 @@ class Detector:
         pallas_blocks: bool = False,
         approx_topk: bool = False,
         lazy_decode: bool = False,
+        s2d_stem: bool = False,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -138,6 +155,23 @@ class Detector:
         if pallas_blocks and not fold_bn:
             raise ValueError("pallas_blocks requires fold_bn=True")
         self.pallas_blocks = pallas_blocks
+        # s2d_stem: space-to-depth restructure of layers 0-1 (same math,
+        # MXU-shaped — darknet.make_s2d_stem).  Near-parity fast path: the
+        # only numeric delta is float summation order (int8 conv_b reuses
+        # conv_1's integer weights verbatim); not bit-exact, so opt-in.
+        if s2d_stem and precision == "int8_early":
+            raise ValueError("s2d_stem supports precision 'bf16' (fold_bn) "
+                             "and 'int8_full'")
+        if s2d_stem and not fold_bn:
+            raise ValueError("s2d_stem requires fold_bn=True")
+        self.s2d_stem = s2d_stem
+        if s2d_stem and precision == "int8_full":
+            self._s2d_params = darknet.make_s2d_stem_int8(
+                self.params, self._qparams, self.spec)
+        elif s2d_stem:
+            self._s2d_params = darknet.make_s2d_stem(self.params, self.spec)
+        else:
+            self._s2d_params = None
         # min_ch=128 keeps the 208²-map stage on the XLA path (its whole-
         # image VMEM footprint exceeds the v5e budget; see pack_pallas_blocks)
         self._pallas_packs = (darknet.pack_pallas_blocks(
@@ -162,6 +196,9 @@ class Detector:
             if self._pallas_packs is not None:
                 self._pallas_packs = jax.device_put(self._pallas_packs,
                                                     replicated(mesh))
+            if self._s2d_params is not None:
+                self._s2d_params = jax.device_put(self._s2d_params,
+                                                  replicated(mesh))
         # int8_early defers compilation until activation scales exist
         # (calibrate() explicitly, or lazily on the first batch)
         self._fn = self._build() if self.precision == "bf16" else None
@@ -184,6 +221,7 @@ class Detector:
         int8_upto = self._int8_upto
         int8_compute = self.int8_compute
         pallas_packs = self._pallas_packs
+        s2d_params = self._s2d_params
 
         @jax.jit
         def run(params, tiles_u8):
@@ -199,11 +237,11 @@ class Detector:
             elif precision == "int8_full":
                 maps = darknet.apply_folded_int8_full(
                     params, qparams, act_scales, spec, x,
-                    compute_dtype=dtype)
+                    compute_dtype=dtype, s2d_stem=s2d_params)
             elif fold:
                 maps = darknet.apply_folded(
                     params, spec, x, compute_dtype=dtype,
-                    pallas_packs=pallas_packs,
+                    pallas_packs=pallas_packs, s2d_stem=s2d_params,
                     # Mosaic kernels need a TPU; CPU (tests) interprets
                     pallas_interpret=jax.default_backend() == "cpu")
             else:
@@ -223,9 +261,33 @@ class Detector:
 
         return run
 
-    def calibrate(self, tiles_u8: np.ndarray) -> Dict[str, float]:
+    # At or below this, an activation-amax was zero: the calibration batch
+    # never excited that layer AT ALL (e.g. a blank border tile) and the
+    # resulting scale would quantize real data to garbage.  The calibrators
+    # floor every scale at amax/127 + 1e-12, so a dead layer lands exactly
+    # at 1e-12 — 2e-12 separates that from any genuinely excited layer
+    # (even untrained random-init nets bottom out around 1e-10).  Small-
+    # but-nonzero amax is deliberately NOT flagged: quantization is
+    # relative, and low-gain layers legitimately produce tiny activations.
+    DEGENERATE_SCALE = 2e-12
+
+    def calibrate(self, tiles_u8: np.ndarray, *, accumulate: bool = False,
+                  rebuild: bool = True) -> Dict[str, float]:
         """Compute static int8 activation scales from a representative batch
-        and compile the int8 pipeline (no-op for bf16 precision)."""
+        and compile the int8 pipeline (no-op for bf16 precision).
+
+        ``accumulate=True`` takes the elementwise max with previously
+        calibrated scales, so calibration can run over several batches::
+
+            for batch in first_k_batches:
+                det.calibrate(batch, accumulate=True, rebuild=False)
+            det.calibrate(last_batch, accumulate=True)   # compiles once
+
+        Degenerate scales (a layer whose amax is ~0 on the calibration
+        batch, e.g. an all-black border tile) raise a ``UserWarning`` —
+        running with them silently mis-scales every real batch that
+        follows.  Pass a representative batch instead.
+        """
         if not self.precision.startswith("int8"):
             return {}
         tiles = jnp.asarray(tiles_u8)
@@ -234,18 +296,39 @@ class Detector:
         else:
             x = preprocess_tiles(tiles, self.model_size)
         if self.precision == "int8_full":
-            self._act_scales = darknet.calibrate_act_scales_full(
+            scales = darknet.calibrate_act_scales_full(
                 self.params, self.spec, x)
         else:
-            self._act_scales = darknet.calibrate_act_scales(
+            scales = darknet.calibrate_act_scales(
                 self.params, self.spec, x, self._int8_upto)
-        self._fn = self._build()
+        if accumulate and self._act_scales is not None:
+            scales = {k: max(v, self._act_scales.get(k, 0.0))
+                      for k, v in scales.items()}
+        degenerate = sorted(k for k, v in scales.items()
+                            if v < self.DEGENERATE_SCALE)
+        if degenerate:
+            import warnings
+
+            warnings.warn(
+                f"int8 calibration produced degenerate (≈0) activation "
+                f"scales for layer(s) {degenerate}: the calibration batch "
+                f"never excited them (blank tile?).  Detections will be "
+                f"garbage — calibrate() with a representative batch, or "
+                f"accumulate=True over several.", UserWarning, stacklevel=2)
+        self._act_scales = scales
+        if rebuild:
+            self._fn = self._build()
+        else:
+            self._fn = None  # recompile lazily with the final scales
         return self._act_scales
 
     def __call__(self, tiles_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K))."""
-        if self._fn is None:  # int8_early: calibrate on the first batch
-            self.calibrate(tiles_u8)
+        if self._fn is None:
+            if self._act_scales is None:  # int8: calibrate on the first batch
+                self.calibrate(tiles_u8)
+            else:  # scales exist (calibrate(rebuild=False)): just compile
+                self._fn = self._build()
         if self.mesh is not None:
             tiles = jax.device_put(jnp.asarray(tiles_u8), self._batch_sharding)
         else:
@@ -261,13 +344,16 @@ class Detector:
     def detect_folder(
         self,
         folder: str,
-        batch_size: int = 16,
+        batch_size=16,
         merge_boxes: bool = False,
         caa_filter=None,
         pipeline_depth: int = 2,
         fast_decode: bool = False,
     ) -> Dict[str, Optional[np.ndarray]]:
         """Run over every image in a folder (reference ``detect.py`` flow).
+
+        ``batch_size`` may be an int or ``"auto"`` (batch 32 for deep
+        queues, 16 otherwise — :func:`resolve_batch_size`).
 
         ``caa_filter``: optional callable (path, dets) -> dets implementing
         the consensus-model CAA filter (:func:`amyloid_yolo_tpu.domain.
@@ -313,6 +399,7 @@ class Detector:
                         det = None
                 results[path] = det
 
+        batch_size = resolve_batch_size(batch_size, len(folder_ds))
         for paths, batch, n_valid in folder_ds.iter_batches(batch_size):
             inflight.append((paths, n_valid, self(batch)))
             if len(inflight) > pipeline_depth:
@@ -322,4 +409,4 @@ class Detector:
         return results
 
 
-__all__ = ["Detector"]
+__all__ = ["Detector", "resolve_batch_size"]

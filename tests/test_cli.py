@@ -71,3 +71,14 @@ def test_fast_path_kwargs():
     sweep_on = p.parse_args(["sweep", "--directory", "d",
                              "--fast_path", "True"])
     assert _fast_path_kwargs(sweep_on)["lazy_decode"] is True
+
+
+def test_resolve_batch_size_auto():
+    from amyloid_yolo_tpu.detectors import resolve_batch_size
+
+    assert resolve_batch_size("auto", 1000) == 32
+    assert resolve_batch_size("auto", 64) == 32
+    assert resolve_batch_size("auto", 63) == 16
+    assert resolve_batch_size("auto", 3) == 16
+    assert resolve_batch_size("8", 1000) == 8
+    assert resolve_batch_size(16, 2) == 16
