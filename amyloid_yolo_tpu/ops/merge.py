@@ -202,16 +202,40 @@ def merge_wsi_detections(
             shifted[3] += oy
             entries.append([shifted, frozenset([path])])
 
+    # Fixed-point loop.  A dense slide can carry thousands of boxes; the
+    # naive all-pairs scan is O(N²) per round, so candidate pairs come from
+    # a spatial hash instead: every box is binned by its 1px-EXPANDED rect,
+    # hence any overlap-or-abut pair shares at least one cell and the
+    # candidate set is a superset of the qualifying set.  Candidates are
+    # visited in the same ascending (i, then j>i) order as the all-pairs
+    # loop, so the greedy-merge fixed point is IDENTICAL to the naive scan
+    # (oracle-checked in tests/test_cross_tile.py).
+    _CELL = 256
     changed = True
     while changed:
         changed = False
         removed = [False] * len(entries)
         appended = []
+        grid: dict = {}
+        spans = []
+        for k, (r, _) in enumerate(entries):
+            # same int() truncation as the pair predicate below, ±1px
+            span = ((int(r[0]) - 1) // _CELL, (int(r[2]) + 1) // _CELL,
+                    (int(r[1]) - 1) // _CELL, (int(r[3]) + 1) // _CELL)
+            spans.append(span)
+            for cx in range(span[0], span[1] + 1):
+                for cy in range(span[2], span[3] + 1):
+                    grid.setdefault((cx, cy), []).append(k)
         for i in range(len(entries)):
             if removed[i]:
                 continue
-            for j in range(i + 1, len(entries)):
-                if removed[i] or removed[j]:
+            x0, x1, y0, y1 = spans[i]
+            cand = set()
+            for cx in range(x0, x1 + 1):
+                for cy in range(y0, y1 + 1):
+                    cand.update(grid.get((cx, cy), ()))
+            for j in sorted(cand):
+                if j <= i or removed[i] or removed[j]:
                     continue
                 (ri, si), (rj, sj) = entries[i], entries[j]
                 if ri[6] != rj[6] or si == sj:
