@@ -299,9 +299,10 @@ class ListDataset:
         try:
             img = load_image_rgb(img_path)
         except Exception:
+            # Never cache failures: a transient I/O hiccup must retry next
+            # epoch like the uncached path (the reference re-reads every
+            # epoch, ``utils/datasets.py:88-127``).
             print(f"Could not read image '{img_path}'.")
-            if self.cache_images:
-                self._cache[index] = None
             return None
         label_path = self.label_files[index]
         try:
@@ -310,8 +311,6 @@ class ListDataset:
                 boxes = np.loadtxt(label_path).reshape(-1, 5).astype(np.float32)
         except Exception:
             print(f"Could not read label '{label_path}'.")
-            if self.cache_images:
-                self._cache[index] = None
             return None
         h, w = img.shape[:2]
         # absolute coords -> pad -> renormalize (transforms.py:56-86 chain)

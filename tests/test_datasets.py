@@ -113,9 +113,14 @@ def test_native_reader_parity_if_available(data_dir):
     pool.close()
 
 
-def test_list_dataset_cache_images(tmp_path):
-    """cache_images returns identical samples without re-decoding, and
-    caches corrupt-sample drops too."""
+def test_list_dataset_cached_decode(tmp_path):
+    # NOTE: the test name must not contain "images" — tmp_path embeds the
+    # test name, and the reference-parity label derivation replaces EVERY
+    # "images" substring in the path (utils/datasets.py:71 quirk).
+    """cache_images returns identical samples without re-decoding.  Failed
+    reads are NOT cached (round-3 advisor fix): a transient I/O hiccup must
+    retry next epoch like the uncached path (the reference re-reads every
+    epoch, ``utils/datasets.py:88-127``)."""
     import numpy as np
     from PIL import Image
 
@@ -140,7 +145,9 @@ def test_list_dataset_cache_images(tmp_path):
     ds = ListDataset(str(lst), img_size=32, multiscale=False, augment=False,
                      cache_images=True)
     first = [ds[i] for i in range(len(ds))]
-    assert first[3] is None and len(ds._cache) == 4
+    assert first[3] is None
+    # only the 3 good samples are cached; the corrupt one will retry
+    assert len(ds._cache) == 3 and all(v is not None for v in ds._cache.values())
     # poison the decode path: cached reads must not touch the files
     for p in paths[:3]:
         import os
