@@ -62,12 +62,17 @@ def non_max_suppression(
         ``capacity`` are truncated (score order, lowest first to go).
       approx_topk: use TPU ``lax.approx_max_k`` (single-pass PartialReduce)
         instead of exact ``lax.top_k`` (multi-pass sort) to select the
-        candidate pool — measured ~0.4 ms/batch-16 saving.  Candidate
-        recall is ~0.95 *among rows near the k-th score*; at the reference
-        operating point the selected set matches the exact pool on 192 of
-        the 200 real prospective images with identical mAP@0.5
-        (accuracy gate: BENCH.md / ``tools/fastpath_gate.py``).
-        Non-parity fast path; default off.
+        candidate pool — measured ~0.4 ms/batch-16 saving.  Know what you
+        are opting into (``fastpath_gate_final/gate_summary.json``, 200
+        real prospective images at the reference operating point): mAP@0.5
+        is neutral (0.5987 vs 0.5981 exact) and 178/200 images are
+        box-for-box identical, but on the other 22 a *different candidate*
+        can enter the pool near the k-th score and survive NMS — per-image
+        output can gain/lose whole detections (723 → 716 total;
+        max matched-box coordinate delta 780 px because a different
+        detection appears, not because a box drifts).  Per-image
+        reproducibility vs the exact pool is NOT guaranteed; aggregate
+        accuracy is.  Non-parity fast path; default off.
 
     Returns:
       ``(dets, valid)`` with ``dets`` (B, capacity, 7) rows

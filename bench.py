@@ -13,10 +13,13 @@ Methodology (and what each printed line means):
 * **Headline (stdout JSON)**: steady-state throughput of the full device
   pipeline with device-resident 1536² uint8 input — every stage including
   the 1536→416 gather runs on-chip in the timed loop.  Configuration is
-  the shipped fast stack (``precision=int8_early, int8_downsample=32`` +
-  lazy sparse decode + approx top-k) — every piece accuracy-gated on the
-  200 real prospective images (mAP@0.5 ≥ the bf16 parity pipeline's; see
-  BENCH.md gate tables / ``tools/fastpath_gate.py``).  Set
+  the fastest gated stack (``precision=int8_full`` — whole-graph int8 with
+  the RGB stem and head convs in bf16 — + lazy sparse decode + approx
+  top-k), accuracy-gated on the 200 real prospective images (mAP@0.5 ≥ the
+  bf16 parity pipeline's; see BENCH.md gate tables /
+  ``tools/fastpath_gate.py``).  Note the CLI's ``--fast_path`` ships the
+  more conservative ``int8_early, int8_downsample=32`` stack; set
+  ``--precision int8_full`` there to match this headline.  Set
   ``BENCH_PRECISION=bf16 BENCH_LAZY=0 BENCH_APPROX=0`` for the box-for-box
   parity pipeline.  Measured over 40 dispatches × 2 repetitions (best),
   blocked at the end.
@@ -75,7 +78,10 @@ def main():
     # paths (BENCH.md "approx top-k", tools/fastpath_gate.py)
     lazy = os.environ.get("BENCH_LAZY", "1") == "1"
     approx = os.environ.get("BENCH_APPROX", "1") == "1"
-    fast_kw = dict(lazy_decode=lazy, approx_topk=approx)
+    # space-to-depth stem (round 3): same math as layers 0-1, MXU-shaped
+    s2d = os.environ.get("BENCH_S2D", "1") == "1"
+    fast_kw = dict(lazy_decode=lazy, approx_topk=approx,
+                   s2d_stem=s2d and precision != "int8_early")
 
     rng = np.random.RandomState(0)
     tiles = rng.randint(0, 255, (batch, 1536, 1536, 3)).astype(np.uint8)

@@ -43,6 +43,10 @@ VARIANTS = [
                               "lazy_decode": True, "approx_topk": True}),
     ("int8full_lazy_approx", {"precision": "int8_full",
                               "lazy_decode": True, "approx_topk": True}),
+    # round-3 bench headline stack: + space-to-depth stem
+    ("int8full_s2d_lazy_approx", {"precision": "int8_full", "s2d_stem": True,
+                                  "lazy_decode": True, "approx_topk": True}),
+    ("bf16_s2d", {"s2d_stem": True}),
 ]
 
 

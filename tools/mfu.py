@@ -23,7 +23,7 @@ V5E_INT8_TOPS = 394.0
 
 def conv_gflops(spec, img: int) -> float:
     """Forward conv GFLOPs per image (MACs × 2)."""
-    from amyloid_yolo_tpu.graphspec import (ConvSpec, RouteSpec,
+    from amyloid_yolo_tpu.graphspec import (ConvSpec, MaxPoolSpec, RouteSpec,
                                             UpsampleSpec)
 
     sizes = {}
@@ -34,6 +34,8 @@ def conv_gflops(spec, img: int) -> float:
             cur = cur // layer.stride
             total_macs += (cur * cur) * layer.out_ch * layer.in_ch \
                 * layer.kernel * layer.kernel
+        elif isinstance(layer, MaxPoolSpec):
+            cur = cur // layer.stride  # tiny-YOLO cfgs downsample by pooling
         elif isinstance(layer, UpsampleSpec):
             cur = cur * layer.factor
         elif isinstance(layer, RouteSpec):
@@ -42,21 +44,59 @@ def conv_gflops(spec, img: int) -> float:
     return 2.0 * total_macs / 1e9
 
 
+def train_gflops(spec, img: int) -> float:
+    """Train-step conv GFLOPs per image: forward + backward.
+
+    Backward of a conv is two conv-shaped contractions of the same MAC
+    count each (dL/dx: grads ⊛ w^T; dL/dw: x ⊛ grads), so fwd+bwd ≈ 3×
+    forward.  Layer 0's dL/dx is never needed (x is the input) — at 416²
+    that term is 416²·27·32 MACs, subtracted for honesty though it is
+    <0.1% of the total.  BN/leaky/loss are elementwise noise next to the
+    convs.
+    """
+    from amyloid_yolo_tpu.graphspec import ConvSpec
+
+    fwd = conv_gflops(spec, img)
+    l0 = spec.layers[0]
+    l0_g = 0.0
+    if isinstance(l0, ConvSpec):
+        cur = img // l0.stride
+        l0_g = 2.0 * (cur * cur) * l0.out_ch * l0.in_ch \
+            * l0.kernel * l0.kernel / 1e9
+    return 3.0 * fwd - l0_g
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=416)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ms", type=float, nargs="*",
                     default=[12.65, 12.29, 9.32, 8.88])
+    ap.add_argument("--train", action="store_true",
+                    help="account a train step (fwd+bwd ≈ 3× fwd conv "
+                         "FLOPs) instead of inference; pass --ms as "
+                         "ms/step or --imgs_per_sec")
+    ap.add_argument("--imgs_per_sec", type=float, nargs="*", default=[],
+                    help="train-throughput alternative to --ms")
     args = ap.parse_args()
 
     from amyloid_yolo_tpu.graphspec import yolov3_spec
 
     spec = yolov3_spec(num_classes=2)
-    g = conv_gflops(spec, args.img)
-    print(f"conv GFLOPs/image @ {args.img}²: {g:.1f}  "
-          f"(batch {args.batch}: {g * args.batch / 1e3:.3f} TFLOP)")
-    for ms in args.ms:
+    if args.train:
+        g = train_gflops(spec, args.img)
+        print(f"train-step conv GFLOPs/image @ {args.img}² (fwd+bwd): "
+              f"{g:.1f}  (batch {args.batch}: {g * args.batch / 1e3:.3f} "
+              f"TFLOP)")
+        rates = list(args.ms)
+        for ips in args.imgs_per_sec:
+            rates.append(args.batch / ips * 1e3)
+    else:
+        g = conv_gflops(spec, args.img)
+        print(f"conv GFLOPs/image @ {args.img}²: {g:.1f}  "
+              f"(batch {args.batch}: {g * args.batch / 1e3:.3f} TFLOP)")
+        rates = list(args.ms)
+    for ms in rates:
         tflops = g * args.batch / (ms / 1e3) / 1e3
         print(f"  {ms:6.2f} ms/batch → {tflops:6.1f} TFLOP/s "
               f"= {tflops / V5E_BF16_TFLOPS * 100:5.1f}% of v5e bf16 peak")
