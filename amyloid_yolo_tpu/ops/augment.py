@@ -14,7 +14,12 @@ cannot match imgaug anyway):
 * ops apply in a fixed order rather than imgaug's ``random_order=True``;
 * imgaug works on the full-resolution host image before letterboxing — we
   augment the device-resident, already-resized tensor, so per-image work is
-  ~13× cheaper at 416² vs 1536² and fuses into the train step.
+  ~13× cheaper at 416² vs 1536² and fuses into the train step;
+* the affine warp resamples with the Paeth 3-shear decomposition (three
+  chained 1-D lerps) instead of 2-D bilinear: identical for pure
+  translation, sub-pixel kernel differences under rotation, and ~10×
+  cheaper on TPU where scattered gathers are element-serial (see
+  ``_affine_shear3``; ``tools/bench_augment.py`` has the measurements).
 
 Everything is batched and branch-free (``jnp.where`` masking) so one
 compiled program serves every sample.
@@ -27,6 +32,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +111,120 @@ def _affine_one(img: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
     return _bilinear_sample(img, sy, sx)
 
 
+# ---------------------------------------------------------------------------
+# 3-shear affine warp (TPU fast path for the training augmentation)
+#
+# The bilinear warp above costs four scattered whole-image gathers, and TPU
+# gathers are element-serial: measured ~2.7 ns/fetched-element regardless
+# of formulation (tools/bench_augment.py — batching the four gathers into
+# one, linear-index flattening and 2x2-slice fetches are all the same or
+# 3x WORSE), which made augmentation ~55% of the train step.  The Paeth
+# 3-shear decomposition R(θ) = shear_x · shear_y · shear_x computes the
+# same rotation+translation with three axis-aligned resampling passes,
+# each a CONTIGUOUS window fetch per 16-row group (vmapped dynamic_slice)
+# + a 2-tap lerp — no scattered gather at all.
+#
+# Divergence (documented in the module docstring): the interpolation
+# kernel is three chained 1-D lerps instead of one 2-D bilinear lerp.
+# For pure translation (angle=0) the two are IDENTICAL; under rotation
+# the kernels differ at sub-pixel scale (both are standard rotation
+# resamplers; imgaug itself is only matched in distribution, never
+# bit-for-bit — RNG streams differ).  Box geometry is unaffected
+# (_affine_boxes implements the exact affine map).
+# ---------------------------------------------------------------------------
+
+# Worst-case |shift| per pass as a fraction of S, for the policy bounds
+# angle ∈ ±20°, translate ∈ ±0.2 (brute-forced over the corner cases of
+# the closed forms below; ~0.45·S worst).  Static padding must cover it —
+# dynamic_slice clamps silently, which would smear edges if exceeded.
+_SHEAR_PAD_FRAC = 0.55
+
+
+# Per-row dynamic_slice lowers to an XLA while loop over H rows (×B under
+# vmap): measured ~6.5 ms/pass at b8@416² — iteration-count-bound, not
+# bandwidth-bound.  The grouped variant below slices once per GROUP of
+# consecutive rows (window widened by a small static MARGIN) and resolves
+# each row's residual integer offset with a margin-tap select, cutting the
+# serial loop 16× while staying bit-exact (only one tap is nonzero per
+# row, and x + 0.0 is exact in f32).
+_SHEAR_GROUP = 16
+# Within a 16-row group, floor(shift) varies by ≤ ceil(slope·15)+1; the
+# steepest pass under the policy bounds (angle ≤ 20°) has slope sin20° ≈
+# 0.342 → ≤ 7.  Exceeding the contract would clip offsets and corrupt the
+# resample, so callers with wilder shifts must pass group=1 (exact path).
+_SHEAR_MARGIN = 8
+
+
+def _shear_rows(img: jnp.ndarray, shift: jnp.ndarray, *,
+                group: int = _SHEAR_GROUP) -> jnp.ndarray:
+    """Resample rows at x + shift[row] (2-tap lerp, zero cval).
+
+    img (H, W, C), shift (H,) float → (H, W, C).  Rows are fetched in
+    groups of ``group`` with one contiguous dynamic_slice per group (see
+    the margin contract above); ``group=1`` is the exact per-row
+    reference path, used automatically when ``group`` does not divide H.
+    """
+    H, W, C = img.shape
+    if H % group:
+        group = 1
+    margin = _SHEAR_MARGIN if group > 1 else 0
+    G = H // group
+    P = int(np.ceil(_SHEAR_PAD_FRAC * W)) + 2
+    padded = jnp.pad(img, ((0, 0), (P, P + margin + 1), (0, 0)))
+    k = jnp.floor(shift)
+    f = shift - k
+    kg = k.reshape(G, group)
+    base = jnp.min(kg, axis=1)                        # (G,)
+    off = jnp.clip(kg - base[:, None], 0, margin).astype(jnp.int32)
+    starts = (P + base).astype(jnp.int32)
+    wwin = W + margin + 1
+    pg = padded.reshape(G, group, W + 2 * P + margin + 1, C)
+
+    def grp_win(rows, st):
+        return jax.lax.dynamic_slice(rows, (0, st, 0), (group, wwin, C))
+
+    win = jax.vmap(grp_win)(pg, starts)               # (G, group, wwin, C)
+    fg = f.reshape(G, group)[..., None, None]
+    out = jnp.zeros((G, group, W, C), img.dtype)
+    for m in range(margin + 1):
+        sel = (off == m)[..., None, None]
+        w0 = jnp.where(sel, 1.0 - fg, 0.0)
+        w1 = jnp.where(sel, fg, 0.0)
+        out = out + w0 * win[:, :, m:m + W] + w1 * win[:, :, m + 1:m + 1 + W]
+    return out.reshape(H, W, C)
+
+
+def _affine_shear3(img: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
+                   ty: jnp.ndarray) -> jnp.ndarray:
+    """Same map as :func:`_affine_one` via three shear passes.
+
+    Sampling composition (out[y,x] = img[sy, sx]):
+      pass1  t1[y,x] = img[y, x + u1(y)]        u1(y) = tan(θ/2)·y + d1
+      pass2  t2[y,x] = t1[y + u2(x), x]         u2(x) = −sinθ·x + d2
+      pass3  out[y,x] = t2[y, x + u3(y)]        u3(y) = tan(θ/2)·y + d3
+    which expands to sy = y + u2(x + u3(y)), sx = x + u3(y) + u1(sy) —
+    matching the inverse rotation exactly when the constants are
+      d3 = −tan(θ/2)·c,  d2 = C2 + sinθ·d3,  d1 = C1 − d3 − tan(θ/2)·C2
+    with C1/C2 the constant terms of _affine_one's source map.
+    """
+    s = img.shape[0]
+    c = (s - 1) / 2.0
+    th = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    t2 = jnp.tan(th / 2.0)
+    Tx, Ty = tx * s, ty * s
+    C1 = c - cos * (c + Tx) - sin * (c + Ty)
+    C2 = c + sin * (c + Tx) - cos * (c + Ty)
+    d3 = -t2 * c
+    d2 = C2 + sin * d3
+    d1 = C1 - d3 - t2 * C2
+    idx = jnp.arange(s, dtype=jnp.float32)
+    out = _shear_rows(img, t2 * idx + d1)                       # pass 1 (x)
+    out = jnp.swapaxes(_shear_rows(jnp.swapaxes(out, 0, 1),
+                                   -sin * idx + d2), 0, 1)      # pass 2 (y)
+    return _shear_rows(out, t2 * idx + d3)                      # pass 3 (x)
+
+
 def _affine_boxes(boxes: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
                   ty: jnp.ndarray) -> jnp.ndarray:
     """Forward-transform normalized (cx, cy, w, h) boxes: rotate the four
@@ -167,7 +287,7 @@ def augment_batch(
     def per_image(img, dr, sa, ang, tr, br, hu, fl, du):
         img = jnp.where(du[..., None] < dr, 0.0, img)              # Dropout
         img = _sharpen(img, sa)                                     # Sharpen
-        img = _affine_one(img, ang, tr[0], tr[1])                   # Affine
+        img = _affine_shear3(img, ang, tr[0], tr[1])                # Affine
         img = jnp.clip(img + br, 0.0, 1.0)                          # Brightness
         hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))                  # Hue
         hsv = hsv.at[..., 0].set((hsv[..., 0] + hu) % 1.0)
@@ -189,4 +309,4 @@ def augment_batch(
     return images, new_t, target_mask & alive
 
 
-__all__ = ["augment_batch"]
+__all__ = ["augment_batch"]  # _affine_one/_affine_shear3 exported for tests

@@ -76,3 +76,60 @@ def test_augment_degenerate_boxes_masked(rng):
     t = jnp.asarray([[0, 1, 1.49, 1.49, 0.01, 0.01]], jnp.float32)
     _, _, out_m = augment_batch(jax.random.PRNGKey(1), imgs, t, jnp.ones((1,), bool))
     assert not bool(out_m[0])
+
+
+def test_shear3_matches_bilinear_translation_and_smooth_rotation(rng):
+    """The 3-shear warp (the shipped train-time resampler) must equal the
+    2-D bilinear reference exactly for pure translation, and agree to
+    sub-pixel kernel tolerance on smooth content under rotation (interior
+    pixels; the valid-data frontier may differ by ≤2 px of zero-fill)."""
+    from amyloid_yolo_tpu.ops.augment import _affine_shear3
+
+    img = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    a = _affine_one(img, jnp.float32(0.0), jnp.float32(0.15), jnp.float32(-0.1))
+    b = _affine_shear3(img, jnp.float32(0.0), jnp.float32(0.15), jnp.float32(-0.1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    smooth = (np.stack([np.sin(xx / 9.0) + 1, np.cos(yy / 7.0) + 1,
+                        (xx + yy) / 126.0], -1).astype(np.float32) / 2)
+    a = np.asarray(_affine_one(jnp.asarray(smooth), jnp.float32(9.0),
+                               jnp.float32(0.0), jnp.float32(0.0)))
+    b = np.asarray(_affine_shear3(jnp.asarray(smooth), jnp.float32(9.0),
+                                  jnp.float32(0.0), jnp.float32(0.0)))
+    interior = np.s_[8:-8, 8:-8]
+    assert np.abs(a - b)[interior].max() < 5e-3
+
+
+def test_grouped_shear_bitexact_vs_per_row(rng):
+    """The grouped-window shear (one dynamic_slice per 16-row group, the
+    shipped path) must be BIT-exact vs the per-row reference (group=1) for
+    every shift profile the 3-shear warp can produce under the policy
+    bounds (|slope| ≤ sin 20° ≈ 0.342, plus per-image constants up to
+    ±0.45·S)."""
+    from amyloid_yolo_tpu.ops.augment import _shear_rows
+
+    img = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32))
+    idx = np.arange(64, dtype=np.float32)
+    for slope, const in [(0.342, -28.0), (-0.342, 28.0), (0.176, 0.3),
+                         (0.0, -17.77), (0.31, 5.2)]:
+        shift = jnp.asarray(slope * idx + const)
+        a = np.asarray(_shear_rows(img, shift))
+        b = np.asarray(_shear_rows(img, shift, group=1))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_shear3_blob_consistent_with_boxes():
+    """Same contract as test_image_and_box_rotation_consistent, for the
+    shipped 3-shear path: the transformed box stays on the blob."""
+    from amyloid_yolo_tpu.ops.augment import _affine_shear3
+
+    img = np.zeros((64, 64, 3), np.float32)
+    img[10:20, 40:50] = 1.0
+    ang, tx, ty = jnp.float32(30.0), jnp.float32(0.05), jnp.float32(-0.1)
+    out = np.asarray(_affine_shear3(jnp.asarray(img), ang, tx, ty))
+    ys, xs = np.where(out.sum(-1) > 0.5)
+    boxes = jnp.asarray([[45.0 / 64, 15.0 / 64, 10.0 / 64, 10.0 / 64]], jnp.float32)
+    nb = np.asarray(_affine_boxes(boxes, ang[None], tx[None], ty[None]))[0]
+    assert abs(nb[0] * 64 - xs.mean()) < 2.5
+    assert abs(nb[1] * 64 - ys.mean()) < 2.5

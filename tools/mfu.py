@@ -70,8 +70,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=416)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--ms", type=float, nargs="*",
-                    default=[12.65, 12.29, 9.32, 8.88])
+    ap.add_argument("--ms", type=float, nargs="*", default=None,
+                    help="ms/batch rates (default: the BENCH.md inference "
+                         "table; empty in --train mode)")
     ap.add_argument("--train", action="store_true",
                     help="account a train step (fwd+bwd ≈ 3× fwd conv "
                          "FLOPs) instead of inference; pass --ms as "
@@ -88,14 +89,15 @@ def main() -> int:
         print(f"train-step conv GFLOPs/image @ {args.img}² (fwd+bwd): "
               f"{g:.1f}  (batch {args.batch}: {g * args.batch / 1e3:.3f} "
               f"TFLOP)")
-        rates = list(args.ms)
+        rates = list(args.ms or [])
         for ips in args.imgs_per_sec:
             rates.append(args.batch / ips * 1e3)
     else:
         g = conv_gflops(spec, args.img)
         print(f"conv GFLOPs/image @ {args.img}²: {g:.1f}  "
               f"(batch {args.batch}: {g * args.batch / 1e3:.3f} TFLOP)")
-        rates = list(args.ms)
+        rates = list(args.ms if args.ms is not None
+                     else [12.65, 12.29, 9.32, 8.88])
     for ms in rates:
         tflops = g * args.batch / (ms / 1e3) / 1e3
         print(f"  {ms:6.2f} ms/batch → {tflops:6.1f} TFLOP/s "
