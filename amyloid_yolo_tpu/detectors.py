@@ -105,6 +105,7 @@ class Detector:
         approx_topk: bool = False,
         lazy_decode: bool = False,
         s2d_stem: bool = False,
+        int32_accum_max_hw: int = 0,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -134,6 +135,10 @@ class Detector:
             raise ValueError(f"{precision} requires fold_bn=True")
         self.precision = precision
         self.int8_compute = int8_compute
+        # int8_full deep-stage accumulator: int32 for conv outputs ≤ this
+        # wide, bf16 above; default 0 = all-bf16, the gated configuration
+        # (end-to-end wash — darknet.apply_folded_int8_full docstring)
+        self.int32_accum_max_hw = int32_accum_max_hw
         self._int8_upto = (darknet.int8_region(self.spec, int8_downsample)
                            if precision == "int8_early" else 0)
         if precision == "int8_early":
@@ -222,6 +227,7 @@ class Detector:
         int8_compute = self.int8_compute
         pallas_packs = self._pallas_packs
         s2d_params = self._s2d_params
+        i32_max_hw = self.int32_accum_max_hw
 
         @jax.jit
         def run(params, tiles_u8):
@@ -237,7 +243,8 @@ class Detector:
             elif precision == "int8_full":
                 maps = darknet.apply_folded_int8_full(
                     params, qparams, act_scales, spec, x,
-                    compute_dtype=dtype, s2d_stem=s2d_params)
+                    compute_dtype=dtype, s2d_stem=s2d_params,
+                    int32_accum_max_hw=i32_max_hw)
             elif fold:
                 maps = darknet.apply_folded(
                     params, spec, x, compute_dtype=dtype,

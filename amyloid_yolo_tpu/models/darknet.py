@@ -836,6 +836,7 @@ def apply_folded_int8_full(
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     s2d_stem: Optional[Params] = None,
+    int32_accum_max_hw: int = 0,
 ) -> List[jnp.ndarray]:
     """Full-graph int8 inference forward (head convs bf16).
 
@@ -850,6 +851,15 @@ def apply_folded_int8_full(
     requantize at conv_0's calibrated scale, int8 conv_b with conv_1's
     relabeled integer weights (identical products), requantize at
     conv_1's scale — numerically the unfused path up to summation order.
+
+    ``int32_accum_max_hw``: quantized convs whose OUTPUT map is at most
+    this wide accumulate in exact int32 instead of bf16.  Isolated-unit
+    A/B says int32 wins at the deep stages (26²: 0.409 vs 0.514
+    ms/unit-batch-16, 13²: 0.407 vs 0.431; ``tools/bench_int8_block.py``)
+    but end-to-end the full pipeline measures a wash (7.87 vs 7.85
+    ms/batch-16 — XLA fuses the epilogues differently in graph context),
+    so the default stays 0: the exact configuration the accuracy gate
+    passed (BENCH.md "Deep-stage accumulator").
     """
     if x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
@@ -898,12 +908,15 @@ def apply_folded_int8_full(
                 if prev_s is None:  # raw input into a quantized conv
                     prev_q, prev_s = quant(prev_q, xs), xs
                 qp = qparams[f"conv_{i}"]
+                out_hw = prev_q.shape[1] // layer.stride
+                accum = (jnp.int32 if out_hw <= int32_accum_max_hw
+                         else jnp.bfloat16)
                 y = jax.lax.conv_general_dilated(
                     prev_q, qp["wq"],
                     window_strides=(layer.stride, layer.stride),
                     padding=((layer.pad, layer.pad), (layer.pad, layer.pad)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.bfloat16,
+                    preferred_element_type=accum,
                 ).astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
                 if layer.activation == "leaky":
                     y = _leaky(y)

@@ -80,8 +80,12 @@ def main():
     approx = os.environ.get("BENCH_APPROX", "1") == "1"
     # space-to-depth stem (round 3): same math as layers 0-1, MXU-shaped
     s2d = os.environ.get("BENCH_S2D", "1") == "1"
+    # deep-stage int32 accumulation for int8_full convs (0 = bf16 accum
+    # everywhere, the gated default; 26 measured a wash end-to-end)
+    i32_hw = int(os.environ.get("BENCH_I32DEEP_HW", "0"))
     fast_kw = dict(lazy_decode=lazy, approx_topk=approx,
-                   s2d_stem=s2d and precision != "int8_early")
+                   s2d_stem=s2d and precision != "int8_early",
+                   int32_accum_max_hw=i32_hw)
 
     rng = np.random.RandomState(0)
     tiles = rng.randint(0, 255, (batch, 1536, 1536, 3)).astype(np.uint8)

@@ -23,20 +23,26 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chain", type=int, default=24,
+                    help="block applications chained inside one dispatch")
     ap.add_argument("--shapes", nargs="*", default=None,
                     help="H,C,C2,strip tuples, e.g. 104,128,64,26")
     args = ap.parse_args()
 
+    import functools
     import jax
     import jax.numpy as jnp
     from amyloid_yolo_tpu.pallas.int8_block import (
-        fused_residual_block_int8, pack_int8_block, reference_block_int8)
+        fused_residual_block_int8, pack_int8_block, reference_block_int8,
+        _leaky, _requant)
 
-    shapes = args.shapes or ["208,64,32,26", "104,128,64,26", "52,256,128,26"]
+    shapes = args.shapes or ["104,128,64,26", "52,256,128,26",
+                             "26,512,256,26", "13,1024,512,13"]
     rng = np.random.RandomState(0)
     B = args.batch
+    K = args.chain
 
     for spec in shapes:
         H, C, C2, strip = map(int, spec.split(","))
@@ -54,31 +60,58 @@ def main():
         xq = jnp.asarray(rng.randint(-127, 128, (B, H, H, C)).astype(np.int8))
         gflop = (H * H * C * C2 * 2 + H * H * C2 * C * 9 * 2) * B / 1e9
 
-        import functools
-        ref = jax.jit(functools.partial(
-            reference_block_int8, sx=sx, s1=s1, s_out=s_out))
+        def ref_int32(x):
+            return reference_block_int8(x, w1p, a1p, b1p, w2p, a2p, b2p,
+                                        sx=sx, s1=s1, s_out=s_out)
+
+        def prod_block(x):
+            # the SHIPPED XLA formulation (darknet.apply_folded_int8_full):
+            # bf16-accumulating int8 convs, f32 dequant epilogue, requant
+            h = jax.lax.conv_general_dilated(
+                x, w1p.reshape(1, 1, C, C2), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16)
+            h = _leaky(h.astype(jnp.float32) * a1p[0] + b1p[0])
+            hq = _requant(h, 1.0 / s1)
+            acc = jax.lax.conv_general_dilated(
+                hq, w2p.reshape(3, 3, C2, C), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16)
+            y = _leaky(acc.astype(jnp.float32) * a2p[0] + b2p[0])
+            y = y + x.astype(jnp.float32) * sx
+            return _requant(y, 1.0 / s_out)
+
+        def fused(x):
+            return fused_residual_block_int8(
+                x, w1p, a1p, b1p, w2p, a2p, b2p,
+                sx=sx, s1=s1, s_out=s_out, strip=strip)
 
         def run(name, fn):
+            # K chained applications inside ONE jitted dispatch: per-unit
+            # time is device-bound, not the ~1.7 ms/dispatch relay floor
+            f = jax.jit(lambda x: jax.lax.fori_loop(
+                0, K, lambda _, v: fn(v), x))
             try:
-                x = fn(xq, w1p, a1p, b1p, w2p, a2p, b2p)
+                x = f(xq)
                 float(jnp.sum(x.astype(jnp.float32)))
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    x = fn(x, w1p, a1p, b1p, w2p, a2p, b2p)
+                    x = f(x)
                 float(jnp.sum(x.astype(jnp.float32)))
-                dt = (time.perf_counter() - t0) / args.iters * 1e3
-                print(f"  {name:28s} {dt:7.3f} ms/batch  "
-                      f"({gflop / dt * 1e3:7.1f} GOP/s)")
+                dt = (time.perf_counter() - t0) / (args.iters * K) * 1e3
+                print(f"  {name:28s} {dt:7.3f} ms/unit-batch  "
+                      f"({gflop / dt * 1e3:7.1f} GOP/s)", flush=True)
                 return dt
             except Exception as e:  # record, keep the other arms alive
-                print(f"  {name:28s} FAILED: {type(e).__name__}: {e}")
+                print(f"  {name:28s} FAILED: {type(e).__name__}: {e}",
+                      flush=True)
                 return None
 
-        print(f"unit {H}²×{C}→{C2}→{C}  b{B}  ({gflop:.2f} GOP/batch)")
-        run("xla_int8_unfused", ref)
-        run(f"pallas_fused strip={strip}",
-            functools.partial(fused_residual_block_int8,
-                              sx=sx, s1=s1, s_out=s_out, strip=strip))
+        print(f"unit {H}²×{C}→{C2}→{C}  b{B}  chain {K}  "
+              f"({gflop:.2f} GOP/batch)", flush=True)
+        run("xla_int8_prod(bf16acc)", prod_block)
+        run("xla_int8_int32acc", ref_int32)
+        run(f"pallas_fused strip={strip}", fused)
     return 0
 
 
