@@ -105,6 +105,14 @@ def bench_step(B, S, iters, dtype_name):
     ips = B / dt * 1e3
     print(f"train step b{B}@{S} {dtype_name}: {dt:.2f} ms/step = "
           f"{ips:.1f} img/s/chip")
+
+    trace_dir = os.environ.get("TRACE_DIR")
+    if trace_dir:  # device-op ground truth (summarize: tools/trace_summary.py)
+        with jax.profiler.trace(trace_dir):
+            for i in range(4):
+                state, m = step(state, imgs, targets, mask, keys[i], S)
+            float(m["loss"])
+        print(f"trace written to {trace_dir}")
     return dt
 
 
