@@ -105,6 +105,7 @@ class Detector:
         approx_topk: bool = False,
         lazy_decode: bool = False,
         s2d_stem: bool = False,
+        s2d_downsample: bool = False,
         int32_accum_max_hw: int = 0,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
@@ -170,6 +171,18 @@ class Detector:
         if s2d_stem and not fold_bn:
             raise ValueError("s2d_stem requires fold_bn=True")
         self.s2d_stem = s2d_stem
+        # s2d_downsample: relabel the narrow-input 3x3/s2 conv_5 onto the
+        # s2d grid too (identical integer products).  Measured 4.5% SLOWER
+        # end-to-end (8.20 vs 7.85 ms/batch-16: the int8 space-to-depth
+        # transpose of the 208²x64 map outweighs the better MXU tiling —
+        # BENCH.md "s2d downsample relabel"), so default OFF; kept as a
+        # tested opt-in for hardware where the trade flips.
+        if s2d_downsample and not (s2d_stem and precision == "int8_full"):
+            raise ValueError("s2d_downsample requires s2d_stem=True and "
+                             "precision='int8_full'")
+        self._s2d_downs = (
+            darknet.make_s2d_down_int8(self._qparams, self.spec)
+            if s2d_downsample and precision == "int8_full" else None)
         if s2d_stem and precision == "int8_full":
             self._s2d_params = darknet.make_s2d_stem_int8(
                 self.params, self._qparams, self.spec)
@@ -227,6 +240,7 @@ class Detector:
         int8_compute = self.int8_compute
         pallas_packs = self._pallas_packs
         s2d_params = self._s2d_params
+        s2d_downs = self._s2d_downs
         i32_max_hw = self.int32_accum_max_hw
 
         @jax.jit
@@ -244,7 +258,7 @@ class Detector:
                 maps = darknet.apply_folded_int8_full(
                     params, qparams, act_scales, spec, x,
                     compute_dtype=dtype, s2d_stem=s2d_params,
-                    int32_accum_max_hw=i32_max_hw)
+                    s2d_downs=s2d_downs, int32_accum_max_hw=i32_max_hw)
             elif fold:
                 maps = darknet.apply_folded(
                     params, spec, x, compute_dtype=dtype,

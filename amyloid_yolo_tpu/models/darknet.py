@@ -517,6 +517,31 @@ def make_s2d_stem_int8(folded: Params, qparams: Params,
             "wbs": qparams["conv_1"]["ws"], "bb": qparams["conv_1"]["b"]}
 
 
+def make_s2d_down_int8(qparams: Params, spec: GraphSpec,
+                       max_in_ch: int = 64) -> Dict[int, jnp.ndarray]:
+    """Relabeled weights for narrow-input stride-2 downsample convs.
+
+    The post-s2d trace (`bench_artifacts/traces/int8full_s2d_b16`) shows
+    the 3×3/s2 64→128 conv at 208² as the single largest op (0.84 ms of
+    the 7.7 ms batch, ~30 TOPS): 64 input channels and the strided access
+    tile the MXU poorly, exactly like the stem did.  The same cure
+    applies: space-to-depth the input to 104²×256 and run conv_1's
+    relabeling (:func:`_s2d_transform_conv_b`) — a 2×2 pad-(1,0) conv
+    whose zero-filled int8 weights produce IDENTICAL integer dot
+    products.  Returns {layer_index: relabeled wq}; scales/biases are the
+    original per-channel entries in ``qparams``.  Deeper downsample convs
+    (in_ch ≥ 128) already tile well and are left alone.
+    """
+    out: Dict[int, jnp.ndarray] = {}
+    for i, layer in enumerate(spec.layers):
+        if (isinstance(layer, ConvSpec) and layer.kernel == 3
+                and layer.stride == 2 and layer.pad == 1 and i != 1
+                and layer.in_ch <= max_in_ch and f"conv_{i}" in qparams):
+            out[i] = jnp.asarray(
+                _s2d_transform_conv_b(np.asarray(qparams[f"conv_{i}"]["wq"])))
+    return out
+
+
 def _conv_b(x: jnp.ndarray, w: jnp.ndarray, preferred=None) -> jnp.ndarray:
     """2x2/s1 conv with (1,0) top/left zero pad (the s2d image of conv1's
     symmetric pad-1: output H' reads s2d rows H'-1, H')."""
@@ -836,6 +861,7 @@ def apply_folded_int8_full(
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     s2d_stem: Optional[Params] = None,
+    s2d_downs: Optional[Dict[int, jnp.ndarray]] = None,
     int32_accum_max_hw: int = 0,
 ) -> List[jnp.ndarray]:
     """Full-graph int8 inference forward (head convs bf16).
@@ -911,13 +937,21 @@ def apply_folded_int8_full(
                 out_hw = prev_q.shape[1] // layer.stride
                 accum = (jnp.int32 if out_hw <= int32_accum_max_hw
                          else jnp.bfloat16)
-                y = jax.lax.conv_general_dilated(
-                    prev_q, qp["wq"],
-                    window_strides=(layer.stride, layer.stride),
-                    padding=((layer.pad, layer.pad), (layer.pad, layer.pad)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=accum,
-                ).astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
+                if s2d_downs and i in s2d_downs:
+                    # narrow-input stride-2 conv on the s2d grid: identical
+                    # integer products (make_s2d_down_int8), MXU-shaped
+                    y = _conv_b(_space_to_depth(prev_q), s2d_downs[i],
+                                preferred=accum)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        prev_q, qp["wq"],
+                        window_strides=(layer.stride, layer.stride),
+                        padding=((layer.pad, layer.pad),
+                                 (layer.pad, layer.pad)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=accum,
+                    )
+                y = y.astype(jnp.float32) * (prev_s * qp["ws"]) + qp["b"]
                 if layer.activation == "leaky":
                     y = _leaky(y)
                 out_s = act_scales[str(i)]
@@ -998,6 +1032,7 @@ __all__ = [
     "apply_folded_int8", "fusible_residual_blocks", "pack_pallas_blocks",
     "int8_full_conv_indices", "quantize_folded_int8_full",
     "calibrate_act_scales_full", "apply_folded_int8_full",
-    "make_s2d_stem", "make_s2d_stem_int8", "s2d_stem_forward",
+    "make_s2d_stem", "make_s2d_stem_int8", "make_s2d_down_int8",
+    "s2d_stem_forward",
     "BN_EPS", "BN_MOMENTUM", "LEAKY_SLOPE",
 ]

@@ -168,3 +168,70 @@ def test_detector_s2d_smoke(setup):
 
     with pytest.raises(ValueError):
         Detector(spec, params, precision="int8_early", s2d_stem=True)
+
+
+def _down_spec(img=64):
+    """Tiny graph with a second, non-stem 3x3/s2 conv (in_ch 16 ≤ 64) that
+    make_s2d_down_int8 must relabel — the shape class of the real conv_5."""
+    from amyloid_yolo_tpu.graphspec import (NetInfo, YOLOV3_MASKS, _Builder,
+                                            _finish)
+
+    b = _Builder(NetInfo(width=img, height=img))
+    b.conv(8, 3)
+    b.conv(16, 3, stride=2)
+    b.conv(32, 3, stride=2)       # <- the relabeled downsample
+    b.conv(3 * (5 + 2), 1, bn=False, act="linear")
+    b.yolo(YOLOV3_MASKS[0], 2)
+    return _finish(b.net, b.layers, b.out_channels)
+
+
+@pytest.fixture(scope="module")
+def setup_down():
+    spec = _down_spec()
+    params = darknet.init_params(jax.random.PRNGKey(3), spec)
+    folded = darknet.fold_batchnorm(params, spec)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    qp = darknet.quantize_folded_int8_full(folded, spec)
+    scales = darknet.calibrate_act_scales_full(folded, spec, x)
+    return spec, folded, qp, scales, x
+
+
+def test_s2d_down_selection(setup_down):
+    spec, folded, qp, scales, x = setup_down
+    downs = darknet.make_s2d_down_int8(qp, spec)
+    assert set(downs) == {2}                  # never the stem conv_1
+    wr = np.asarray(downs[2])
+    assert wr.dtype == np.int8 and wr.shape == (2, 2, 64, 32)
+    wq = np.asarray(qp["conv_2"]["wq"])
+    assert np.abs(wr.astype(np.int64)).sum() == np.abs(wq.astype(np.int64)).sum()
+
+
+def test_s2d_down_bitexact_under_int32_accum(setup_down):
+    """With int32 accumulation on both arms the relabeled conv's integer
+    sums are EXACT, so the whole forward must be bit-identical."""
+    spec, folded, qp, scales, x = setup_down
+    downs = darknet.make_s2d_down_int8(qp, spec)
+    ref = darknet.apply_folded_int8_full(folded, qp, scales, spec, x,
+                                         compute_dtype=jnp.float32,
+                                         int32_accum_max_hw=10**6)
+    got = darknet.apply_folded_int8_full(folded, qp, scales, spec, x,
+                                         compute_dtype=jnp.float32,
+                                         s2d_downs=downs,
+                                         int32_accum_max_hw=10**6)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2d_down_close_under_bf16_accum(setup_down):
+    spec, folded, qp, scales, x = setup_down
+    downs = darknet.make_s2d_down_int8(qp, spec)
+    ref = darknet.apply_folded_int8_full(folded, qp, scales, spec, x,
+                                         compute_dtype=jnp.float32)
+    got = darknet.apply_folded_int8_full(folded, qp, scales, spec, x,
+                                         compute_dtype=jnp.float32,
+                                         s2d_downs=downs)
+    for a, b in zip(got, ref):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.02
