@@ -159,6 +159,10 @@ def params_to_torch_state_dict(spec: GraphSpec, params: Dict) -> Dict[str, np.nd
 
 def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -> Dict:
     """Dispatch on extension like the reference CLIs (``train.py:64-68``)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"weights file not found: {path!r} (expected a darknet binary, "
+            f"a torch .pth/.pt/.pkl state dict, or an orbax directory)")
     if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".pkl"):
         return load_torch_state_dict(spec, path)
     loaded, _ = load_darknet_weights(spec, path, params)
