@@ -101,3 +101,11 @@ def test_orbax_checkpoint_roundtrip(spec_params, tmp_path):
     W.save_checkpoint(path, {"params": params})
     restored = W.load_checkpoint(path)["params"]
     tree_equal(params, restored)
+
+
+def test_load_pretrained_missing_file_message(spec_params):
+    """`amyolo test --weights_path /nonexistent` must fail with a clear
+    FileNotFoundError naming the path, not a torch/struct traceback."""
+    spec, _ = spec_params
+    with pytest.raises(FileNotFoundError, match="nonexistent.pth"):
+        W.load_pretrained(spec, "/nonexistent.pth")
