@@ -24,6 +24,7 @@ No torch is used anywhere in the compute path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -39,12 +40,21 @@ from ..graphspec import (
     UpsampleSpec,
     YoloSpec,
 )
+from ..ops import bnstats
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9  # torch BatchNorm2d(momentum=0.9) — reference models.py:43
 LEAKY_SLOPE = 0.1
+
+# Training-mode BN statistics form (see apply() docstring).  "matmul"
+# streams the per-channel sums through the MXU — the trace-attributed fix
+# for the slow vector reduce kernels (ops/bnstats.py); "reduce" is the
+# plain vector-reduction form (kept for A/B and as the CPU-backend
+# fallback if ever needed).  Same math either way, tested equivalent;
+# resolved at trace time, override per-call via apply(bn_form=...).
+BN_FORM = os.environ.get("AMYOLO_BN_FORM", "reduce")
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +153,7 @@ def apply(
     *,
     train: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    bn_form: Optional[str] = None,
 ) -> Tuple[List[jnp.ndarray], Optional[Params]]:
     """Run the backbone+heads; return raw NHWC maps at each yolo layer.
 
@@ -150,12 +161,20 @@ def apply(
     eval mode, else a dict ``{"bn_i": {"mean": ..., "var": ...}}`` of updated
     running statistics (functional counterpart of torch's in-place BN state).
 
+    ``bn_form`` selects how training-mode BN statistics (and the normalize
+    backward reductions) are computed: ``"matmul"`` streams them through
+    the MXU (:mod:`amyloid_yolo_tpu.ops.bnstats`), ``"reduce"`` uses plain
+    vector reductions.  Same math, different summation order; ``None``
+    defers to the module default ``BN_FORM``.
+
     Decoding the raw maps into boxes is a separate concern
     (:mod:`amyloid_yolo_tpu.models.heads`) so that training can fuse decode
     into the loss and inference can fuse it into NMS.
     """
     if x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
+    if bn_form is None:
+        bn_form = BN_FORM
 
     # liveness: keep an activation only while a later route/shortcut needs it
     last_use: Dict[int, int] = {}
@@ -175,21 +194,29 @@ def apply(
             if layer.batch_normalize:
                 bn = params[f"bn_{i}"]
                 if train:
-                    out32 = out.astype(jnp.float32)
                     # one-pass batch stats: mean and E[x²] are INDEPENDENT
-                    # reductions over the same tensor, so XLA multi-output-
-                    # fuses them into one HBM read (the two-pass
-                    # E[(x-μ)²] form re-read the activation after the mean)
-                    # and, under a dp-sharded batch, emits adjacent
-                    # all-reduces its combiner pass merges — one collective
-                    # per BN layer instead of two serialized rendezvous
-                    # (the r02 multichip-dryrun abort was rendezvous-bound).
-                    # max(·,0) guards f32 cancellation; activations are O(1)
-                    # so the torch-parity delta stays ≪ the 2e-4 test rtol.
-                    mean = jnp.mean(out32, axis=(0, 1, 2))
-                    msq = jnp.mean(out32 * out32, axis=(0, 1, 2))
+                    # reductions over the same tensor (the two-pass
+                    # E[(x-μ)²] form re-reads the activation after the
+                    # mean) and, under a dp-sharded batch, emit adjacent
+                    # all-reduces XLA's combiner pass merges — one
+                    # collective per BN layer instead of two serialized
+                    # rendezvous (the r02 multichip-dryrun abort was
+                    # rendezvous-bound).  max(·,0) guards f32 cancellation;
+                    # activations are O(1) so the torch-parity delta stays
+                    # ≪ the 2e-4 test rtol.
+                    n = out.shape[0] * out.shape[1] * out.shape[2]
+                    if bn_form == "matmul":
+                        # MXU-form sums + custom-VJP normalize: the trace-
+                        # attributed fix for the vector reduce kernels that
+                        # cost 9.2 of 23.9 ms/step (ops/bnstats.py).
+                        s, sq = bnstats.channel_sums(
+                            out.reshape(-1, out.shape[-1]))
+                        mean, msq = s / n, sq / n
+                    else:
+                        out32 = out.astype(jnp.float32)
+                        mean = jnp.mean(out32, axis=(0, 1, 2))
+                        msq = jnp.mean(out32 * out32, axis=(0, 1, 2))
                     var = jnp.maximum(msq - mean * mean, 0.0)
-                    n = out32.shape[0] * out32.shape[1] * out32.shape[2]
                     unbiased = var * (n / max(n - 1, 1))
                     new_stats[f"bn_{i}"] = {
                         "mean": (1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,
@@ -198,8 +225,15 @@ def apply(
                 else:
                     mean, var = bn["mean"], bn["var"]
                 inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
-                out = (out.astype(jnp.float32) - mean) * (bn["scale"] * inv) + bn["bias"]
-                out = out.astype(compute_dtype)
+                if train and bn_form == "matmul":
+                    out = bnstats.bn_normalize(
+                        out, mean, inv,
+                        bn["scale"].astype(jnp.float32),
+                        bn["bias"].astype(jnp.float32))
+                else:
+                    out = (out.astype(jnp.float32) - mean) \
+                        * (bn["scale"] * inv) + bn["bias"]
+                    out = out.astype(compute_dtype)
             else:
                 out = out + params[f"conv_{i}"]["b"].astype(compute_dtype)
             if layer.activation == "leaky":

@@ -113,3 +113,44 @@ def test_loss_grad_finite(rng):
 
     g = jax.grad(f)(jnp.asarray(raw))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dense_form_bit_identical_to_scatter(seed):
+    """The dense (compare-reduction) assignment must reproduce the scatter
+    form bit-for-bit — winner election, collisions, ignore mask, padded
+    rows, every output tensor."""
+    r = np.random.RandomState(100 + seed)
+    raw, t = random_case(r, b=3, g=13, n_t=24)
+    # force same-cell collisions and duplicate rows
+    t[5] = t[0]
+    t[6, 2:4] = t[1, 2:4]
+    ht = head_grid_tensors(jnp.asarray(raw), YOLO.anchors, 104, 2)
+    mask = jnp.asarray(r.rand(24) > 0.2)
+    kw = dict(target=jnp.asarray(t), target_mask=mask,
+              anchors=ht["scaled_anchors"], ignore_thres=YOLO.ignore_thres)
+    a = build_targets(ht["pred_boxes"], ht["cls"], form="scatter", **kw)
+    d = build_targets(ht["pred_boxes"], ht["cls"], form="dense", **kw)
+    assert set(a) == set(d)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(d[k]),
+                                      err_msg=k)
+
+
+def test_dense_form_matches_torch(rng):
+    raw, t = random_case(rng)
+    ht = head_grid_tensors(jnp.asarray(raw), YOLO.anchors, 64, 2)
+    mask = jnp.ones((t.shape[0],), bool)
+    bt = build_targets(ht["pred_boxes"], ht["cls"], jnp.asarray(t), mask,
+                       ht["scaled_anchors"], YOLO.ignore_thres, form="dense")
+    res = tm.yolo_head_loss_torch(torch_tensors(raw, 64), YOLO, 64,
+                                  torch.from_numpy(t).double())
+    np.testing.assert_array_equal(np.asarray(bt["obj_mask"]),
+                                  res["obj_mask"].numpy())
+    np.testing.assert_array_equal(np.asarray(bt["noobj_mask"]),
+                                  res["noobj_mask"].numpy())
+    for k in ["tx", "ty", "tw", "th"]:
+        np.testing.assert_allclose(np.asarray(bt[k]), res[k].numpy(),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bt["tcls"]), res["tcls"].numpy(),
+                               atol=1e-6)

@@ -72,12 +72,20 @@ def bench_warp(B, S, iters):
     run("bilinear", aug._affine_one)
 
 
-def bench_step(B, S, iters, dtype_name):
+def bench_step(B, S, iters, dtype_name, bn_form=None, targets_form=None,
+               tag=""):
     import jax
     import jax.numpy as jnp
     from amyloid_yolo_tpu.graphspec import yolov3_spec
     from amyloid_yolo_tpu.models import darknet
+    from amyloid_yolo_tpu.ops import targets as targets_mod
     from amyloid_yolo_tpu.parallel import steps
+
+    # the knobs are trace-time module globals — set before make_train_step
+    if bn_form is not None:
+        darknet.BN_FORM = bn_form
+    if targets_form is not None:
+        targets_mod.TARGETS_FORM = targets_form
 
     spec = yolov3_spec()
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
@@ -103,8 +111,8 @@ def bench_step(B, S, iters, dtype_name):
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters * 1e3
     ips = B / dt * 1e3
-    print(f"train step b{B}@{S} {dtype_name}: {dt:.2f} ms/step = "
-          f"{ips:.1f} img/s/chip")
+    print(f"train step b{B}@{S} {dtype_name}{tag}: {dt:.2f} ms/step = "
+          f"{ips:.1f} img/s/chip", flush=True)
 
     trace_dir = os.environ.get("TRACE_DIR")
     if trace_dir:  # device-op ground truth (summarize: tools/trace_summary.py)
@@ -123,9 +131,29 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--warp-ab", action="store_true")
+    ap.add_argument("--forms-ab", action="store_true",
+                    help="A/B BN_FORM (reduce|matmul) x TARGETS_FORM "
+                         "(scatter|dense) on the full train step, one "
+                         "process (CLAUDE.md: batch TPU experiments)")
     args = ap.parse_args()
     if args.warp_ab:
         bench_warp(args.batch, args.size, args.iters)
+    if args.forms_ab:
+        results = {}
+        # 3 combos, not the full 2x2: each is a separate full-model remote
+        # compile (3-35 min through the relay); (reduce, dense) adds no
+        # decision-relevant information
+        for bn, tf in (("reduce", "scatter"), ("matmul", "scatter"),
+                       ("matmul", "dense")):
+            tag = f" bn={bn} targets={tf}"
+            results[(bn, tf)] = bench_step(
+                args.batch, args.size, args.iters, args.dtype,
+                bn_form=bn, targets_form=tf, tag=tag)
+        base = results[("reduce", "scatter")]
+        for k, v in results.items():
+            print(f"  bn={k[0]:6s} targets={k[1]:7s} {v:7.2f} ms/step "
+                  f"({base / v:.2f}x vs current default)")
+        return 0
     bench_step(args.batch, args.size, args.iters, args.dtype)
     return 0
 
