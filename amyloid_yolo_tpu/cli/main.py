@@ -73,6 +73,8 @@ def cmd_train(args) -> int:
         compute_dtype=args.compute_dtype,
         cache_images=_truthy(args.cache_images),
         host_resize=_truthy(args.host_resize),
+        s2d_stem=(None if args.s2d_stem == "auto"
+                  else _truthy(args.s2d_stem)),
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -288,6 +290,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the (bit-identical) nearest multiscale "
                         "resize on the host before transfer — ~13x less "
                         "host→device traffic; use on thin links")
+    t.add_argument("--s2d_stem", type=str, default="auto",
+                   help="space-to-depth training stem (auto/True/False): "
+                        "computes layers 0-1 on the s2d grid with gradients "
+                        "mapped back to the standard 3x3 weights — same "
+                        "function/gradients up to f32 summation order")
     t.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from "
                         "(restores optimizer state too)")

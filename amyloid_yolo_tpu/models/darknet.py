@@ -116,6 +116,12 @@ def _leaky(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
 
 
+def _wide(x: jnp.ndarray) -> jnp.ndarray:
+    """At-least-f32 cast: widens bf16 epilogues without DOWNcasting an f64
+    trace (the x64 gradient-equivalence tests, tests/test_s2d_train.py)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def _maxpool(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     # kernel-2/stride-1 pools get the reference's (0,1,0,1) ZERO pad
     # (models.py:50-51, nn.ZeroPad2d) — edge maxima clamp at 0 for
@@ -154,8 +160,21 @@ def apply(
     train: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
     bn_form: Optional[str] = None,
+    s2d_stem: bool = False,
 ) -> Tuple[List[jnp.ndarray], Optional[Params]]:
     """Run the backbone+heads; return raw NHWC maps at each yolo layer.
+
+    ``s2d_stem=True`` computes layers 0-1 (the reference's 3x3/s1 RGB conv
+    into the 3x3/s2 downsample, ``models.py:237-243``) on the space-to-depth
+    grid — the training-path counterpart of :func:`make_s2d_stem`.  The
+    weight relabel runs INSIDE the trace (:func:`_s2d_relabel`), so autodiff
+    returns gradients in the standard 3x3 parameterization and the optimizer
+    geometry is unchanged; BN batch stats reduce over the phase axis too
+    (same value population, different summation order).  Same function up to
+    float summation order — the 3-deep input contraction otherwise runs the
+    MXU at ~1% utilization in the forward AND both backward convs (trace
+    ``bench_artifacts/traces/train_r3``: ~4.7 of 25.6 ms/step in the stem
+    region at batch 8).
 
     Returns ``(head_maps, new_bn_stats)`` — ``new_bn_stats`` is ``None`` in
     eval mode, else a dict ``{"bn_i": {"mean": ..., "var": ...}}`` of updated
@@ -187,7 +206,31 @@ def apply(
     head_maps: List[jnp.ndarray] = []
     prev: Optional[jnp.ndarray] = x
 
+    start_index = 0
+    if s2d_stem:
+        _check_s2d_spec(spec)
+        l0: ConvSpec = spec.layers[0]  # type: ignore[assignment]
+        l1: ConvSpec = spec.layers[1]  # type: ignore[assignment]
+        if not (l0.batch_normalize and l1.batch_normalize):
+            raise ValueError("s2d training stem requires BN on layers 0-1")
+        wa = _s2d_relabel(params["conv_0"]["w"].astype(compute_dtype),
+                          _s2d_gather_indices_a(l0.in_ch, l0.out_ch))
+        a = _conv(_space_to_depth(prev), wa, 1, 1, widen_output=False)
+        a = _leaky(_s2d_bn(a, params["bn_0"], "bn_0", new_stats,
+                           train, compute_dtype, groups=4))
+        wb = _s2d_relabel(params["conv_1"]["w"].astype(compute_dtype),
+                          _s2d_gather_indices_b(l1.in_ch, l1.out_ch))
+        out = _conv_b(a, wb)
+        out = _leaky(_s2d_bn(out, params["bn_1"], "bn_1", new_stats,
+                             train, compute_dtype, groups=1))
+        if 1 in last_use:
+            saved[1] = out
+        prev = out
+        start_index = 2
+
     for i, layer in enumerate(spec.layers):
+        if i < start_index:
+            continue
         if isinstance(layer, ConvSpec):
             w = params[f"conv_{i}"]["w"].astype(compute_dtype)
             out = _conv(prev, w, layer.stride, layer.pad, widen_output=False)
@@ -213,7 +256,7 @@ def apply(
                             out.reshape(-1, out.shape[-1]))
                         mean, msq = s / n, sq / n
                     else:
-                        out32 = out.astype(jnp.float32)
+                        out32 = _wide(out)
                         mean = jnp.mean(out32, axis=(0, 1, 2))
                         msq = jnp.mean(out32 * out32, axis=(0, 1, 2))
                     var = jnp.maximum(msq - mean * mean, 0.0)
@@ -231,7 +274,7 @@ def apply(
                         bn["scale"].astype(jnp.float32),
                         bn["bias"].astype(jnp.float32))
                 else:
-                    out = (out.astype(jnp.float32) - mean) \
+                    out = (_wide(out) - mean) \
                         * (bn["scale"] * inv) + bn["bias"]
                     out = out.astype(compute_dtype)
             else:
@@ -248,7 +291,7 @@ def apply(
         elif isinstance(layer, ShortcutSpec):
             out = prev + saved[layer.from_index]
         elif isinstance(layer, YoloSpec):
-            head_maps.append(prev.astype(jnp.float32))
+            head_maps.append(_wide(prev))
             out = prev
         else:  # pragma: no cover
             raise TypeError(f"unknown layer spec {layer!r}")
@@ -574,6 +617,97 @@ def make_s2d_down_int8(qparams: Params, spec: GraphSpec,
             out[i] = jnp.asarray(
                 _s2d_transform_conv_b(np.asarray(qparams[f"conv_{i}"]["wq"])))
     return out
+
+
+# -- differentiable relabel (training path) --------------------------------
+#
+# The fold-time transforms above produce STATIC relabeled weights; training
+# needs the relabel INSIDE the traced step so autodiff maps gradients back
+# onto the standard 3x3 kernels (the optimizer keeps operating on the
+# reference parameterization — Adam is not invariant under reparameterization,
+# so training *in* s2d space would diverge from reference semantics).  Each
+# relabeled position holds either zero or exactly one element of the source
+# kernel, so the relabel is a gather from ``w.flat`` (+ one appended zero);
+# its VJP is a scatter-add — both weight-sized, negligible next to the convs.
+
+@functools.lru_cache(maxsize=None)
+def _s2d_gather_indices_a(cin: int, c0: int) -> np.ndarray:
+    """Flat-index map (3,3,4cin,4c0) into conv0's ``w.flat`` (sentinel
+    ``9*cin*c0`` = the appended zero); mirrors `_s2d_transform_conv_a`."""
+    idx = np.full((3, 3, 4 * cin, 4 * c0), 9 * cin * c0, np.int32)
+    co = np.arange(c0, dtype=np.int32)
+    for ph in range(2):
+        for pw in range(2):
+            for dh in range(3):
+                for dw in range(3):
+                    qh, rh = divmod(ph + dh - 1, 2)
+                    qw, rw = divmod(pw + dw - 1, 2)
+                    for ci in range(cin):
+                        idx[qh + 1, qw + 1, (rh * 2 + rw) * cin + ci,
+                            (ph * 2 + pw) * c0:(ph * 2 + pw) * c0 + c0] = \
+                            ((dh * 3 + dw) * cin + ci) * c0 + co
+    return idx
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_gather_indices_b(c0: int, c1: int) -> np.ndarray:
+    """Flat-index map (2,2,4c0,c1) into conv1's ``w.flat``; mirrors
+    `_s2d_transform_conv_b`."""
+    idx = np.full((2, 2, 4 * c0, c1), 9 * c0 * c1, np.int32)
+    co = np.arange(c1, dtype=np.int32)
+    for k_h in range(2):
+        for k_w in range(2):
+            for rh in range(2):
+                for rw in range(2):
+                    dh = 2 * k_h + rh - 1
+                    dw = 2 * k_w + rw - 1
+                    if 0 <= dh < 3 and 0 <= dw < 3:
+                        for c in range(c0):
+                            idx[k_h, k_w, (rh * 2 + rw) * c0 + c] = \
+                                ((dh * 3 + dw) * c0 + c) * c1 + co
+    return idx
+
+
+def _s2d_relabel(w: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    """Differentiable zero-filled relabel: gather from ``w.flat`` plus one
+    appended zero (the sentinel target).  Bit-identical to the numpy
+    fold-time transforms (tests/test_s2d_train.py)."""
+    flat = jnp.concatenate([w.reshape(-1), jnp.zeros((1,), w.dtype)])
+    return flat[idx]
+
+
+def _s2d_bn(out: jnp.ndarray, bn: Params, key: str, new_stats: Params,
+            train: bool, compute_dtype, groups: int) -> jnp.ndarray:
+    """BN for a phase-encoded map: channel axis is ``groups`` s2d phase
+    copies of the real C channels.  Batch stats reduce over the phase axis
+    too — the SAME value population as the standard 2x-resolution layout,
+    summed in a different order; scale/bias/stat vectors are phase-tiled.
+    One-pass E[x²]−E[x]² form (see apply() for the dp-collective rationale).
+    """
+    B, H, W, CC = out.shape
+    C = CC // groups
+    out32 = _wide(out)
+    if train:
+        n = B * H * W * groups
+        v = out32.reshape(B, H, W, groups, C) if groups > 1 else out32
+        axes = (0, 1, 2, 3) if groups > 1 else (0, 1, 2)
+        mean = jnp.mean(v, axis=axes)
+        msq = jnp.mean(v * v, axis=axes)
+        var = jnp.maximum(msq - mean * mean, 0.0)
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats[key] = {
+            "mean": (1 - BN_MOMENTUM) * bn["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * bn["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = bn["mean"], bn["var"]
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + BN_EPS)
+    g = bn["scale"] * inv
+    b = bn["bias"]
+    if groups > 1:
+        mean, g, b = jnp.tile(mean, groups), jnp.tile(g, groups), jnp.tile(b, groups)
+    # same affine form as the standard path (apply() BN epilogue)
+    return ((out32 - mean) * g + b).astype(compute_dtype)
 
 
 def _conv_b(x: jnp.ndarray, w: jnp.ndarray, preferred=None) -> jnp.ndarray:

@@ -123,6 +123,7 @@ def make_train_step(
     *,
     augment: bool = True,
     compute_dtype=jnp.float32,
+    s2d_stem: bool = False,
 ):
     """Build the jitted train step.
 
@@ -134,7 +135,8 @@ def make_train_step(
     def loss_fn(train_params, stats, images, targets, target_mask, img_size):
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
-            params, spec, images, train=True, compute_dtype=compute_dtype
+            params, spec, images, train=True, compute_dtype=compute_dtype,
+            s2d_stem=s2d_stem,
         )
         total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, (new_stats, per_head)
@@ -199,6 +201,7 @@ def make_accum_train_step(
     *,
     augment: bool = True,
     compute_dtype=jnp.float32,
+    s2d_stem: bool = False,
 ):
     """Train step with the reference's gradient-accumulation schedule.
 
@@ -213,7 +216,8 @@ def make_accum_train_step(
     def loss_fn(train_params, stats, images, targets, target_mask, img_size):
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
-            params, spec, images, train=True, compute_dtype=compute_dtype
+            params, spec, images, train=True, compute_dtype=compute_dtype,
+            s2d_stem=s2d_stem,
         )
         total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, (new_stats, per_head)
@@ -270,14 +274,15 @@ def make_accum_train_step(
 
 
 def make_grad_step(spec: GraphSpec, *, augment: bool = False,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, s2d_stem: bool = False):
     """Gradient-only step (no optimizer) — used by the grad-accumulation
     trainer and by the DP≡accumulation equivalence tests."""
 
     def loss_fn(train_params, stats, images, targets, target_mask, img_size):
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
-            params, spec, images, train=True, compute_dtype=compute_dtype
+            params, spec, images, train=True, compute_dtype=compute_dtype,
+            s2d_stem=s2d_stem,
         )
         total, _ = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, new_stats

@@ -63,6 +63,11 @@ class TrainConfig:
     max_batches_per_epoch: Optional[int] = None  # for smoke runs
     cache_images: bool = False  # RAM-cache decoded images across epochs
     host_resize: bool = False   # bit-identical nearest resize before transfer
+    s2d_stem: Optional[bool] = None  # space-to-depth training stem; None =
+    #   auto (on when the spec has the YOLOv3 stem shape).  Same function and
+    #   gradients as the standard stem up to f32 summation order
+    #   (tests/test_s2d_train.py); measured 25.36 -> 23.70 ms/step b8@416
+    #   bf16 on v5e (tools/bench_trainstep.py --s2d-ab).
 
 
 class Trainer:
@@ -86,17 +91,26 @@ class Trainer:
         # compute_dtype="bfloat16" runs conv forward/backward MXU-native;
         # params, loss reductions, BN stats and Adam state stay f32
         cdtype = jnp.dtype(cfg.compute_dtype)
+        s2d = cfg.s2d_stem
+        if s2d is None:  # auto: on whenever the stem qualifies
+            try:
+                darknet._check_s2d_spec(self.spec)
+                s2d = bool(self.spec.layers[0].batch_normalize
+                           and self.spec.layers[1].batch_normalize)
+            except ValueError:
+                s2d = False
+        self.s2d_stem = s2d
         if self.accum > 1:
             # reference default recipe: batch 8 x accumulation 2
             # (train.py:31,116-119) — summed grads, step every N batches
             self.step_fn = steps_mod.make_accum_train_step(
                 self.spec, self.optimizer, self.accum, augment=cfg.augment,
-                compute_dtype=cdtype,
+                compute_dtype=cdtype, s2d_stem=s2d,
             )
         else:
             self.step_fn = steps_mod.make_train_step(
                 self.spec, self.optimizer, augment=cfg.augment,
-                compute_dtype=cdtype,
+                compute_dtype=cdtype, s2d_stem=s2d,
             )
         if cfg.data_parallel and cfg.data_parallel > 1:
             mesh = make_mesh(cfg.data_parallel)

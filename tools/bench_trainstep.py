@@ -73,7 +73,7 @@ def bench_warp(B, S, iters):
 
 
 def bench_step(B, S, iters, dtype_name, bn_form=None, targets_form=None,
-               tag=""):
+               tag="", s2d_stem=False):
     import jax
     import jax.numpy as jnp
     from amyloid_yolo_tpu.graphspec import yolov3_spec
@@ -92,7 +92,8 @@ def bench_step(B, S, iters, dtype_name, bn_form=None, targets_form=None,
     params = darknet.init_params(jax.random.PRNGKey(0), spec)
     opt = steps.make_optimizer(1e-4)
     state = steps.init_train_state(params, opt)
-    step = steps.make_train_step(spec, opt, augment=True, compute_dtype=dtype)
+    step = steps.make_train_step(spec, opt, augment=True, compute_dtype=dtype,
+                                 s2d_stem=s2d_stem)
 
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randint(0, 256, (B, S, S, 3), dtype=np.uint8))
@@ -131,6 +132,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--warp-ab", action="store_true")
+    ap.add_argument("--s2d-ab", action="store_true",
+                    help="A/B the s2d training stem vs the standard stem "
+                         "on the full train step, one process")
     ap.add_argument("--forms-ab", action="store_true",
                     help="A/B BN_FORM (reduce|matmul) x TARGETS_FORM "
                          "(scatter|dense) on the full train step, one "
@@ -138,6 +142,14 @@ def main():
     args = ap.parse_args()
     if args.warp_ab:
         bench_warp(args.batch, args.size, args.iters)
+    if args.s2d_ab:
+        base = bench_step(args.batch, args.size, args.iters, args.dtype,
+                          tag=" stem=standard")
+        s2d = bench_step(args.batch, args.size, args.iters, args.dtype,
+                         tag=" stem=s2d", s2d_stem=True)
+        print(f"  s2d stem: {base:.2f} -> {s2d:.2f} ms/step "
+              f"({base / s2d:.3f}x)")
+        return 0
     if args.forms_ab:
         results = {}
         # 3 combos, not the full 2x2: each is a separate full-model remote
