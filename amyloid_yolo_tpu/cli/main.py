@@ -75,6 +75,7 @@ def cmd_train(args) -> int:
         host_resize=_truthy(args.host_resize),
         s2d_stem=(None if args.s2d_stem == "auto"
                   else _truthy(args.s2d_stem)),
+        image_layout=args.image_layout,
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -295,6 +296,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "computes layers 0-1 on the s2d grid with gradients "
                         "mapped back to the standard 3x3 weights — same "
                         "function/gradients up to f32 summation order")
+    t.add_argument("--image_layout", type=str, default="planar",
+                   choices=["planar", "nhwc"],
+                   help="in-step image pipeline layout; planar runs "
+                        "resize+augment channel-first (W-minor VPU tiles), "
+                        "identical results, ~8%% faster step")
     t.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from "
                         "(restores optimizer state too)")

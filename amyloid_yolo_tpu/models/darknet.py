@@ -161,8 +161,14 @@ def apply(
     compute_dtype: jnp.dtype = jnp.float32,
     bn_form: Optional[str] = None,
     s2d_stem: bool = False,
+    input_layout: str = "nhwc",
 ) -> Tuple[List[jnp.ndarray], Optional[Params]]:
     """Run the backbone+heads; return raw NHWC maps at each yolo layer.
+
+    ``input_layout="planar"`` accepts a (B, C, H, W) image — the planar
+    training pipeline's native layout.  With the s2d stem it folds directly
+    into the space-to-depth transpose (:func:`_space_to_depth_planar`);
+    otherwise it is transposed to NHWC at entry.
 
     ``s2d_stem=True`` computes layers 0-1 (the reference's 3x3/s1 RGB conv
     into the 3x3/s2 downsample, ``models.py:237-243``) on the space-to-depth
@@ -206,6 +212,9 @@ def apply(
     head_maps: List[jnp.ndarray] = []
     prev: Optional[jnp.ndarray] = x
 
+    if input_layout == "planar" and not s2d_stem:
+        prev = jnp.transpose(prev, (0, 2, 3, 1))
+
     start_index = 0
     if s2d_stem:
         _check_s2d_spec(spec)
@@ -215,7 +224,9 @@ def apply(
             raise ValueError("s2d training stem requires BN on layers 0-1")
         wa = _s2d_relabel(params["conv_0"]["w"].astype(compute_dtype),
                           _s2d_gather_indices_a(l0.in_ch, l0.out_ch))
-        a = _conv(_space_to_depth(prev), wa, 1, 1, widen_output=False)
+        xs = (_space_to_depth_planar(prev) if input_layout == "planar"
+              else _space_to_depth(prev))
+        a = _conv(xs, wa, 1, 1, widen_output=False)
         a = _leaky(_s2d_bn(a, params["bn_0"], "bn_0", new_stats,
                            train, compute_dtype, groups=4))
         wb = _s2d_relabel(params["conv_1"]["w"].astype(compute_dtype),
@@ -524,6 +535,17 @@ def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     B, H2, W2, C = x.shape
     x = x.reshape(B, H2 // 2, 2, W2 // 2, 2, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H2 // 2, W2 // 2, 4 * C)
+
+
+def _space_to_depth_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, 2H, 2W) planar → (B, H, W, 4C) with the SAME channel layout
+    as :func:`_space_to_depth` ((ph·2+pw)·C + c) — the planar training
+    pipeline feeds the s2d stem with ONE transpose, never materializing
+    the NHWC image."""
+    B, C, H2, W2 = x.shape
+    x = x.reshape(B, C, H2 // 2, 2, W2 // 2, 2)
+    x = x.transpose(0, 2, 4, 3, 5, 1)          # B, H, W, ph, pw, C
     return x.reshape(B, H2 // 2, W2 // 2, 4 * C)
 
 

@@ -35,10 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    maxc = jnp.max(rgb, axis=-1)
-    minc = jnp.min(rgb, axis=-1)
+def _rgb_to_hsv_planes(r, g, b):
+    """Per-pixel RGB→HSV on separate channel planes (layout-agnostic core:
+    identical arithmetic whether channels are the minor axis or a plane)."""
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
     spread = maxc - minc
     s = jnp.where(maxc > 0, spread / jnp.maximum(maxc, 1e-12), 0.0)
@@ -51,11 +52,10 @@ def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
     )
     h = (h / 6.0) % 1.0
     h = jnp.where(spread == 0, 0.0, h)
-    return jnp.stack([h, s, v], axis=-1)
+    return h, s, v
 
 
-def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+def _hsv_to_rgb_planes(h, s, v):
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1.0 - s)
@@ -65,6 +65,16 @@ def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
     g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return r, g, b
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = _rgb_to_hsv_planes(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = _hsv_to_rgb_planes(hsv[..., 0], hsv[..., 1], hsv[..., 2])
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -225,6 +235,67 @@ def _affine_shear3(img: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
     return _shear_rows(out, t2 * idx + d3)                      # pass 3 (x)
 
 
+def _shear_rows_planar(img: jnp.ndarray, shift: jnp.ndarray, *,
+                       group: int = _SHEAR_GROUP) -> jnp.ndarray:
+    """Planar-layout (C, H, W) twin of :func:`_shear_rows`.
+
+    Identical per-element arithmetic (same pads, slice positions, taps and
+    margin selects — bit-exact, tests/test_augment_planar.py); the layout
+    is the point: with W minor the (8,128) tile covers real pixels instead
+    of padding a 3-deep channel axis 42× (the NHWC form's elementwise ops
+    ran at ~1/40 of VPU bandwidth in the train trace)."""
+    C, H, W = img.shape
+    if H % group:
+        group = 1
+    margin = _SHEAR_MARGIN if group > 1 else 0
+    G = H // group
+    P = int(np.ceil(_SHEAR_PAD_FRAC * W)) + 2
+    padded = jnp.pad(img, ((0, 0), (0, 0), (P, P + margin + 1)))
+    k = jnp.floor(shift)
+    f = shift - k
+    kg = k.reshape(G, group)
+    base = jnp.min(kg, axis=1)                        # (G,)
+    off = jnp.clip(kg - base[:, None], 0, margin).astype(jnp.int32)
+    starts = (P + base).astype(jnp.int32)
+    wwin = W + margin + 1
+    pg = padded.reshape(C, G, group, W + 2 * P + margin + 1)
+
+    def grp_win(rows, st):                            # rows (C, group, Wp)
+        return jax.lax.dynamic_slice(rows, (0, 0, st), (C, group, wwin))
+
+    win = jax.vmap(grp_win, in_axes=(1, 0), out_axes=1)(pg, starts)
+    fg = f.reshape(G, group)[None, :, :, None]        # win (C, G, group, wwin)
+    out = jnp.zeros((C, G, group, W), img.dtype)
+    for m in range(margin + 1):
+        sel = (off == m)[None, :, :, None]
+        w0 = jnp.where(sel, 1.0 - fg, 0.0)
+        w1 = jnp.where(sel, fg, 0.0)
+        out = out + w0 * win[:, :, :, m:m + W] + w1 * win[:, :, :, m + 1:m + 1 + W]
+    return out.reshape(C, H, W)
+
+
+def _affine_shear3_planar(img: jnp.ndarray, angle_deg: jnp.ndarray,
+                          tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray:
+    """Planar (C, H, W) twin of :func:`_affine_shear3` — same shear
+    constants, bit-exact vs the NHWC form."""
+    s = img.shape[1]
+    c = (s - 1) / 2.0
+    th = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(th), jnp.sin(th)
+    t2 = jnp.tan(th / 2.0)
+    Tx, Ty = tx * s, ty * s
+    C1 = c - cos * (c + Tx) - sin * (c + Ty)
+    C2 = c + sin * (c + Tx) - cos * (c + Ty)
+    d3 = -t2 * c
+    d2 = C2 + sin * d3
+    d1 = C1 - d3 - t2 * C2
+    idx = jnp.arange(s, dtype=jnp.float32)
+    out = _shear_rows_planar(img, t2 * idx + d1)                 # pass 1 (x)
+    out = jnp.swapaxes(_shear_rows_planar(jnp.swapaxes(out, 1, 2),
+                                          -sin * idx + d2), 1, 2)  # pass 2 (y)
+    return _shear_rows_planar(out, t2 * idx + d3)                # pass 3 (x)
+
+
 def _affine_boxes(boxes: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
                   ty: jnp.ndarray) -> jnp.ndarray:
     """Forward-transform normalized (cx, cy, w, h) boxes: rotate the four
@@ -266,14 +337,36 @@ def _sharpen(img: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return (1 - alpha) * img + alpha * sharp
 
 
+def _sharpen_planar(img: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Planar (C, H, W) sharpen: channels ride the conv batch dim with a
+    single-feature kernel — the same 9 spatial taps as :func:`_sharpen`'s
+    eye-kernel form (whose cross-channel taps are exact zeros)."""
+    k = SHARPEN_KERNEL[:, :, None, None]
+    sharp = jax.lax.conv_general_dilated(
+        img[..., None], k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]
+    return (1 - alpha) * img + alpha * sharp
+
+
 def augment_batch(
     rng: jax.Array,
-    images: jnp.ndarray,        # (B, S, S, 3) float in [0, 1]
-    targets: jnp.ndarray,       # (T, 6) rows (batch_idx, cls, cx, cy, w, h)
-    target_mask: jnp.ndarray,   # (T,)
+    images: jnp.ndarray,        # (B, S, S, 3) float in [0, 1]; (B, 3, S, S)
+    targets: jnp.ndarray,       #   when layout="planar"
+    target_mask: jnp.ndarray,   # targets (T, 6) (batch_idx, cls, cx, cy, w, h)
+    *,
+    layout: str = "nhwc",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Apply the full policy; returns (images, targets, target_mask)."""
+    """Apply the full policy; returns (images, targets, target_mask).
+
+    ``layout="planar"`` runs the identical policy on channel-planar images
+    — per-element bit-exact vs NHWC (tests/test_augment_planar.py) but
+    with W as the minor axis, so the VPU tile holds 128 real pixels
+    instead of 3 channels + 125 lanes of padding.  The RNG draws are
+    layout-independent (same keys, same shapes, same order)."""
+    planar = layout == "planar"
     B = images.shape[0]
+    S = images.shape[2]
     keys = jax.random.split(rng, 8)
     drop_rate = jax.random.uniform(keys[0], (B,)) * 0.01
     sharp_alpha = jax.random.uniform(keys[1], (B,)) * 0.2
@@ -282,7 +375,7 @@ def augment_batch(
     bright = jax.random.uniform(keys[4], (B,), minval=-30.0, maxval=30.0) / 255.0
     hue = jax.random.uniform(keys[5], (B,), minval=-20.0, maxval=20.0) * 2.0 / 360.0
     flip = jax.random.bernoulli(keys[6], 0.5, (B,))
-    drop_u = jax.random.uniform(keys[7], images.shape[:3])
+    drop_u = jax.random.uniform(keys[7], (B, S, S))
 
     def per_image(img, dr, sa, ang, tr, br, hu, fl, du):
         img = jnp.where(du[..., None] < dr, 0.0, img)              # Dropout
@@ -295,7 +388,19 @@ def augment_batch(
         img = jnp.where(fl, img[:, ::-1, :], img)                   # Fliplr
         return img
 
-    images = jax.vmap(per_image)(
+    def per_image_planar(img, dr, sa, ang, tr, br, hu, fl, du):
+        img = jnp.where(du[None] < dr, 0.0, img)                   # Dropout
+        img = _sharpen_planar(img, sa)                              # Sharpen
+        img = _affine_shear3_planar(img, ang, tr[0], tr[1])         # Affine
+        img = jnp.clip(img + br, 0.0, 1.0)                          # Brightness
+        img = jnp.clip(img, 0.0, 1.0)
+        h, s, v = _rgb_to_hsv_planes(img[0], img[1], img[2])        # Hue
+        r, g, b = _hsv_to_rgb_planes((h + hu) % 1.0, s, v)
+        img = jnp.stack([r, g, b])
+        img = jnp.where(fl, img[:, :, ::-1], img)                   # Fliplr
+        return img
+
+    images = jax.vmap(per_image_planar if planar else per_image)(
         images, drop_rate, sharp_alpha, angle, trans, bright, hue, flip, drop_u
     )
 

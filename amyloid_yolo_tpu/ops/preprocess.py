@@ -35,10 +35,18 @@ def nearest_indices(out_size: int, in_size: int) -> np.ndarray:
     return np.minimum(idx, in_size - 1)
 
 
-def resize_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Nearest-neighbor resize of NHWC (or HWC) images to (size, size)."""
-    h_axis = x.ndim - 3
-    w_axis = x.ndim - 2
+def resize_nearest(x: jnp.ndarray, size: int, *,
+                   layout: str = "nhwc") -> jnp.ndarray:
+    """Nearest-neighbor resize to (size, size).
+
+    ``layout="nhwc"`` (default): NHWC or HWC — H/W are the two axes before
+    the channel axis.  ``layout="planar"``: (B, C, H, W) or (C, H, W) — H/W
+    are the LAST two axes, so the takes stream W-minor tiles at full lane
+    width (the training pipeline's planar fast path)."""
+    if layout == "planar":
+        h_axis, w_axis = x.ndim - 2, x.ndim - 1
+    else:
+        h_axis, w_axis = x.ndim - 3, x.ndim - 2
     hi = jnp.asarray(nearest_indices(size, x.shape[h_axis]))
     wi = jnp.asarray(nearest_indices(size, x.shape[w_axis]))
     x = jnp.take(x, hi, axis=h_axis)

@@ -124,6 +124,7 @@ def make_train_step(
     augment: bool = True,
     compute_dtype=jnp.float32,
     s2d_stem: bool = False,
+    image_layout: str = "nhwc",
 ):
     """Build the jitted train step.
 
@@ -136,17 +137,21 @@ def make_train_step(
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
             params, spec, images, train=True, compute_dtype=compute_dtype,
-            s2d_stem=s2d_stem,
+            s2d_stem=s2d_stem, input_layout=image_layout,
         )
         total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, (new_stats, per_head)
 
     @functools.partial(jax.jit, static_argnames=("img_size",), donate_argnums=(0,))
     def step(state: TrainState, images_u8, targets, target_mask, rng, img_size: int):
-        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if image_layout == "planar":
+            # one C-minor pass at uint8, then every pipeline op runs W-minor
+            images_u8 = jnp.transpose(images_u8, (0, 3, 1, 2))
+        images = resize_nearest(images_u8, img_size,
+                                layout=image_layout).astype(jnp.float32) / 255.0
         if augment:
             images, targets, target_mask = augment_batch(
-                rng, images, targets, target_mask
+                rng, images, targets, target_mask, layout=image_layout
             )
         train_params, stats = _split(state.params)
         (total, (new_stats, per_head)), grads = jax.value_and_grad(
@@ -202,6 +207,7 @@ def make_accum_train_step(
     augment: bool = True,
     compute_dtype=jnp.float32,
     s2d_stem: bool = False,
+    image_layout: str = "nhwc",
 ):
     """Train step with the reference's gradient-accumulation schedule.
 
@@ -217,7 +223,7 @@ def make_accum_train_step(
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
             params, spec, images, train=True, compute_dtype=compute_dtype,
-            s2d_stem=s2d_stem,
+            s2d_stem=s2d_stem, input_layout=image_layout,
         )
         total, per_head = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, (new_stats, per_head)
@@ -225,10 +231,14 @@ def make_accum_train_step(
     @functools.partial(jax.jit, static_argnames=("img_size",), donate_argnums=(0,))
     def step(astate: AccumState, images_u8, targets, target_mask, rng, img_size: int):
         state = astate.inner
-        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if image_layout == "planar":
+            # one C-minor pass at uint8, then every pipeline op runs W-minor
+            images_u8 = jnp.transpose(images_u8, (0, 3, 1, 2))
+        images = resize_nearest(images_u8, img_size,
+                                layout=image_layout).astype(jnp.float32) / 255.0
         if augment:
             images, targets, target_mask = augment_batch(
-                rng, images, targets, target_mask
+                rng, images, targets, target_mask, layout=image_layout
             )
         train_params, stats = _split(state.params)
         (total, (new_stats, per_head)), grads = jax.value_and_grad(
@@ -274,7 +284,8 @@ def make_accum_train_step(
 
 
 def make_grad_step(spec: GraphSpec, *, augment: bool = False,
-                   compute_dtype=jnp.float32, s2d_stem: bool = False):
+                   compute_dtype=jnp.float32, s2d_stem: bool = False,
+                   image_layout: str = "nhwc"):
     """Gradient-only step (no optimizer) — used by the grad-accumulation
     trainer and by the DP≡accumulation equivalence tests."""
 
@@ -282,16 +293,20 @@ def make_grad_step(spec: GraphSpec, *, augment: bool = False,
         params = _merge(train_params, stats)
         maps, new_stats = darknet.apply(
             params, spec, images, train=True, compute_dtype=compute_dtype,
-            s2d_stem=s2d_stem,
+            s2d_stem=s2d_stem, input_layout=image_layout,
         )
         total, _ = yolo_loss(maps, spec, img_size, targets, target_mask)
         return total, new_stats
 
     @functools.partial(jax.jit, static_argnames=("img_size",))
     def grad_step(params, images_u8, targets, target_mask, img_size: int, rng=None):
-        images = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+        if image_layout == "planar":
+            images_u8 = jnp.transpose(images_u8, (0, 3, 1, 2))
+        images = resize_nearest(images_u8, img_size,
+                                layout=image_layout).astype(jnp.float32) / 255.0
         if augment:
-            images, targets, target_mask = augment_batch(rng, images, targets, target_mask)
+            images, targets, target_mask = augment_batch(
+                rng, images, targets, target_mask, layout=image_layout)
         train_params, stats = _split(params)
         (total, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             train_params, stats, images, targets, target_mask, img_size

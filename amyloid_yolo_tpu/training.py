@@ -68,6 +68,12 @@ class TrainConfig:
     #   gradients as the standard stem up to f32 summation order
     #   (tests/test_s2d_train.py); measured 25.36 -> 23.70 ms/step b8@416
     #   bf16 on v5e (tools/bench_trainstep.py --s2d-ab).
+    image_layout: str = "planar"  # in-step image pipeline layout.  "planar"
+    #   transposes ONCE at uint8 and runs resize+augment channel-planar
+    #   (W-minor VPU tiles instead of 42x lane padding on C=3): measured
+    #   23.76 -> 22.00 ms/step (tools/bench_trainstep.py --layout-ab).
+    #   Identical results (bit-exact except the sharpen conv's ~1 ULP tap
+    #   order, tests/test_augment_planar.py); "nhwc" reverts.
 
 
 class Trainer:
@@ -106,11 +112,13 @@ class Trainer:
             self.step_fn = steps_mod.make_accum_train_step(
                 self.spec, self.optimizer, self.accum, augment=cfg.augment,
                 compute_dtype=cdtype, s2d_stem=s2d,
+                image_layout=cfg.image_layout,
             )
         else:
             self.step_fn = steps_mod.make_train_step(
                 self.spec, self.optimizer, augment=cfg.augment,
                 compute_dtype=cdtype, s2d_stem=s2d,
+                image_layout=cfg.image_layout,
             )
         if cfg.data_parallel and cfg.data_parallel > 1:
             mesh = make_mesh(cfg.data_parallel)

@@ -73,7 +73,7 @@ def bench_warp(B, S, iters):
 
 
 def bench_step(B, S, iters, dtype_name, bn_form=None, targets_form=None,
-               tag="", s2d_stem=False):
+               tag="", s2d_stem=False, image_layout="nhwc"):
     import jax
     import jax.numpy as jnp
     from amyloid_yolo_tpu.graphspec import yolov3_spec
@@ -93,7 +93,7 @@ def bench_step(B, S, iters, dtype_name, bn_form=None, targets_form=None,
     opt = steps.make_optimizer(1e-4)
     state = steps.init_train_state(params, opt)
     step = steps.make_train_step(spec, opt, augment=True, compute_dtype=dtype,
-                                 s2d_stem=s2d_stem)
+                                 s2d_stem=s2d_stem, image_layout=image_layout)
 
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randint(0, 256, (B, S, S, 3), dtype=np.uint8))
@@ -135,6 +135,9 @@ def main():
     ap.add_argument("--s2d-ab", action="store_true",
                     help="A/B the s2d training stem vs the standard stem "
                          "on the full train step, one process")
+    ap.add_argument("--layout-ab", action="store_true",
+                    help="A/B the planar image pipeline vs NHWC (both with "
+                         "the shipped s2d stem), one process")
     ap.add_argument("--forms-ab", action="store_true",
                     help="A/B BN_FORM (reduce|matmul) x TARGETS_FORM "
                          "(scatter|dense) on the full train step, one "
@@ -142,6 +145,15 @@ def main():
     args = ap.parse_args()
     if args.warp_ab:
         bench_warp(args.batch, args.size, args.iters)
+    if args.layout_ab:
+        base = bench_step(args.batch, args.size, args.iters, args.dtype,
+                          tag=" layout=nhwc", s2d_stem=True)
+        planar = bench_step(args.batch, args.size, args.iters, args.dtype,
+                            tag=" layout=planar", s2d_stem=True,
+                            image_layout="planar")
+        print(f"  planar pipeline: {base:.2f} -> {planar:.2f} ms/step "
+              f"({base / planar:.3f}x)")
+        return 0
     if args.s2d_ab:
         base = bench_step(args.batch, args.size, args.iters, args.dtype,
                           tag=" stem=standard")
