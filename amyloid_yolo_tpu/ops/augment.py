@@ -323,8 +323,11 @@ def _affine_boxes(boxes: jnp.ndarray, angle_deg: jnp.ndarray, tx: jnp.ndarray,
     return jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
 
 
-SHARPEN_KERNEL = jnp.asarray(
-    [[-1.0, -1.0, -1.0], [-1.0, 9.0, -1.0], [-1.0, -1.0, -1.0]]
+# numpy, not jnp: a module-level device array would initialize JAX backends
+# at import time, locking platform/device-count config before embedding
+# processes (tests, multi-host children) can pin them.
+SHARPEN_KERNEL = np.asarray(
+    [[-1.0, -1.0, -1.0], [-1.0, 9.0, -1.0], [-1.0, -1.0, -1.0]], np.float32
 )
 
 
