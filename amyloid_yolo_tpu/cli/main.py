@@ -76,6 +76,10 @@ def cmd_train(args) -> int:
         s2d_stem=(None if args.s2d_stem == "auto"
                   else _truthy(args.s2d_stem)),
         image_layout=args.image_layout,
+        distributed=_truthy(args.distributed),
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
     trainer = Trainer(cfg)
     if args.resume:
@@ -271,6 +275,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--verbose", "-v", default=False, action="store_true")
     t.add_argument("--logdir", type=str, default="logs")
     t.add_argument("--data_parallel", type=int, default=None)
+    t.add_argument("--distributed", type=str, default="False",
+                   help="multi-host (pod-scale) DP: one global mesh over "
+                        "every host's chips; batch_size becomes the GLOBAL "
+                        "batch and each host loads its own rows. On a TPU "
+                        "pod the coordinator args may be omitted "
+                        "(auto-discovered); launch one process per host.")
+    t.add_argument("--coordinator_address", type=str, default=None)
+    t.add_argument("--num_processes", type=int, default=None)
+    t.add_argument("--process_id", type=int, default=None)
     t.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     t.add_argument("--no_augment", action="store_true")
     t.add_argument("--max_batches_per_epoch", type=int, default=None)

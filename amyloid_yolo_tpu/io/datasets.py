@@ -339,13 +339,32 @@ class ListDataset:
             )
         return self.img_size
 
-    def collate(self, samples: Sequence) -> Optional[dict]:
+    def collate(self, samples: Sequence, row_offset: int = 0,
+                fixed_size: bool = False) -> Optional[dict]:
         """Stack valid samples; pad labels to a fixed (B*max_objects) block.
 
         Targets are rows (batch_idx, cls, cx, cy, w, h) + validity mask —
         the fixed-shape encoding of the reference's concatenated tensor.
+
+        ``row_offset`` shifts the batch-index column: in multi-host DP each
+        host collates only its rows of the global batch, whose indices are
+        global (host p's row ``bi`` is global row ``p*local_b + bi``).
+        ``fixed_size`` keeps failed reads as zero images with no labels
+        instead of dropping them — collective programs need every host to
+        produce identically-shaped batches in lockstep, so a local decode
+        failure must not change this host's batch shape.
         """
-        samples = [s for s in samples if s is not None]
+        if fixed_size:
+            side = next((s[1].shape[0] for s in samples if s is not None),
+                        self.img_size)
+            samples = [
+                s if s is not None else
+                ("<failed>", np.zeros((side, side, 3), np.uint8),
+                 np.zeros((0, 5), np.float32))
+                for s in samples
+            ]
+        else:
+            samples = [s for s in samples if s is not None]
         if not samples:
             return None
         img_size = self.next_size()
@@ -363,7 +382,7 @@ class ListDataset:
         for bi, bx in enumerate(boxes_list):
             n = min(len(bx), cap)
             rows = slice(bi * cap, bi * cap + n)
-            targets[rows, 0] = bi
+            targets[rows, 0] = row_offset + bi
             targets[rows, 1:] = bx[:n]
             mask[bi * cap:bi * cap + n] = True
         return {
@@ -374,16 +393,43 @@ class ListDataset:
             "img_size": img_size,
         }
 
-    def iter_epoch(self, batch_size: int, shuffle: bool = True, prefetch: int = 2):
+    def iter_epoch(self, batch_size: int, shuffle: bool = True, prefetch: int = 2,
+                   shard=None):
+        """Yield collated batches for one epoch.
+
+        ``shard=(process_id, num_processes)`` turns on multi-host mode: every
+        host derives the SAME global shuffle (seeded RNG) and the same
+        ``batch_size``-row global batches, but loads/collates only its own
+        contiguous row block of each — global row ``p*local_b + bi`` — with
+        global batch-index targets.  Ragged tails are dropped and failed
+        reads are zero-padded (``collate(fixed_size=True)``) so every host
+        yields the same batch count and shapes: a collective program must
+        run in lockstep.  The multiscale schedule stays host-identical
+        because ``next_size`` advances once per global batch on each host
+        with the same seed.
+        """
         order = list(range(len(self)))
         if shuffle:
             self._rng.shuffle(order)
+        pid, nproc = shard if shard is not None else (0, 1)
+        if shard is not None:
+            if batch_size % nproc:
+                raise ValueError(
+                    f"global batch {batch_size} must divide over {nproc} hosts")
+            order = order[: len(order) - (len(order) % batch_size)]
+        local_b = batch_size // nproc
 
         def produce(q: "queue.Queue"):
             try:
                 for start in range(0, len(order), batch_size):
                     idxs = order[start:start + batch_size]
-                    batch = self.collate([self[i] for i in idxs])
+                    if shard is None:
+                        batch = self.collate([self[i] for i in idxs])
+                    else:
+                        mine = idxs[pid * local_b:(pid + 1) * local_b]
+                        batch = self.collate([self[i] for i in mine],
+                                             row_offset=pid * local_b,
+                                             fixed_size=True)
                     if batch is not None:
                         q.put(batch)
             finally:

@@ -36,6 +36,9 @@ from jax.sharding import Mesh
 from .mesh import batch_sharding, replicated
 
 
+_INITIALIZED = False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -43,7 +46,9 @@ def initialize(
     *,
     cpu_devices_per_process: Optional[int] = None,
 ) -> None:
-    """Join (or start) the JAX distributed runtime.
+    """Join (or start) the JAX distributed runtime.  Idempotent: a second
+    call in the same process (e.g. a launcher initialized before handing
+    off to ``Trainer(distributed=True)``) is a no-op.
 
     On a real TPU pod slice every argument may be ``None`` — JAX discovers
     the coordinator/topology from the TPU environment.  For CPU-hosted
@@ -53,6 +58,9 @@ def initialize(
     gloo.  Must be called before any other JAX device access in the
     process.
     """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
     if cpu_devices_per_process is not None:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", cpu_devices_per_process)
@@ -62,6 +70,7 @@ def initialize(
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
+    _INITIALIZED = True
 
 
 def global_mesh(axis: str = "dp") -> Mesh:

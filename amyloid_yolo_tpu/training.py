@@ -59,6 +59,14 @@ class TrainConfig:
     logdir: str = "logs"
     seed: int = 0
     data_parallel: Optional[int] = None   # devices in the dp mesh (None = 1)
+    distributed: bool = False  # multi-host (pod-scale) DP: one global mesh
+    #   over every process's devices; batch_size is the GLOBAL batch and
+    #   each host loads its own row block (parallel/distributed.py).  On a
+    #   TPU pod the coordinator/topology fields may stay None (discovered
+    #   from the TPU environment).
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     verbose: bool = False
     max_batches_per_epoch: Optional[int] = None  # for smoke runs
     cache_images: bool = False  # RAM-cache decoded images across epochs
@@ -79,6 +87,23 @@ class TrainConfig:
 class Trainer:
     def __init__(self, cfg: TrainConfig, spec: Optional[GraphSpec] = None):
         self.cfg = cfg
+        if cfg.distributed:
+            # Join the multi-host runtime BEFORE any device access below.
+            # Tolerate an embedding process (test child, launcher) having
+            # already initialized it.
+            from .parallel import distributed as dist_mod
+            try:
+                dist_mod.initialize(cfg.coordinator_address,
+                                    cfg.num_processes, cfg.process_id)
+            except RuntimeError:
+                pass  # already initialized by the launcher / test harness
+            self._dist = dist_mod
+            self.pid = jax.process_index()
+            self.nproc = jax.process_count()
+        else:
+            self._dist = None
+            self.pid, self.nproc = 0, 1
+        self.is_main = self.pid == 0
         self.spec = spec or yolov3_spec(num_classes=cfg.num_classes)
         data = parse_data_config(cfg.data_config)
         self.train_path = data["train"]
@@ -120,7 +145,11 @@ class Trainer:
                 compute_dtype=cdtype, s2d_stem=s2d,
                 image_layout=cfg.image_layout,
             )
-        if cfg.data_parallel and cfg.data_parallel > 1:
+        if cfg.distributed and self.nproc > 1:
+            mesh = self._dist.global_mesh()
+            self.step_fn = self._dist.shard_train_step_multiprocess(
+                self.step_fn, mesh)
+        elif cfg.data_parallel and cfg.data_parallel > 1:
             mesh = make_mesh(cfg.data_parallel)
             self.step_fn = steps_mod.shard_train_step(self.step_fn, mesh)
         self.logger = MetricsLogger(cfg.logdir)
@@ -140,56 +169,70 @@ class Trainer:
         # the role of train.py's batches_done
         run_state = (steps_mod.init_accum_state(self.state)
                      if self.accum > 1 else self.state)
+        shard = (self.pid, self.nproc) if self.nproc > 1 else None
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            for bi, batch in enumerate(dataset.iter_epoch(cfg.batch_size)):
+            for bi, batch in enumerate(
+                    dataset.iter_epoch(cfg.batch_size, shard=shard)):
                 if cfg.max_batches_per_epoch and bi >= cfg.max_batches_per_epoch:
                     break
                 rng, sub = jax.random.split(rng)
+                # multi-host: pass this host's np rows; the sharded wrapper
+                # assembles the global arrays (make_array_from_process_local_data
+                # wants host buffers, not device arrays)
+                cast = np.asarray if shard else jnp.asarray
                 run_state, metrics = self.step_fn(
                     run_state,
-                    jnp.asarray(batch["images"]),
-                    jnp.asarray(batch["targets"]),
-                    jnp.asarray(batch["target_mask"]),
+                    cast(batch["images"]),
+                    cast(batch["targets"]),
+                    cast(batch["target_mask"]),
                     sub,
                     int(batch["img_size"]),
                 )
                 self.state = run_state.inner if self.accum > 1 else run_state
-                if bi % 10 == 0:  # fetch metrics only when logging (no per-step sync)
-                    host = {k: float(v) for k, v in metrics.items()}
+                if bi % 10 == 0 and self.is_main:
+                    # fetch metrics only when logging (no per-step sync)
+                    host = {k: float(self._fetch(v)) for k, v in metrics.items()}
                     host["epoch"] = epoch
                     host["batch"] = bi
-                    self.logger.log(host, step=int(self.state.step))
+                    self.logger.log(host, step=int(self._fetch(self.state.step)))
                     if cfg.verbose:
                         print(f"[epoch {epoch} batch {bi}] loss={host['loss']:.4f}")
             epoch_time = time.time() - t0
 
-            if epoch % cfg.evaluation_interval == 0:
+            if cfg.evaluation_interval and epoch % cfg.evaluation_interval == 0:
+                # Multi-host: every host evaluates identically (the eval
+                # program has no collectives, so symmetric execution keeps
+                # hosts in lockstep without rendezvous-timeout risk); only
+                # the main host logs/prints.  Params must be host-local
+                # copies — a local jit can't consume process-spanning arrays.
                 out = evaluate(
-                    self.spec, self.state.params, self.valid_path,
+                    self.spec, self._host_tree(self.state.params), self.valid_path,
                     iou_thres=0.5, conf_thres=0.5, nms_thres=0.5,
                     img_size=cfg.img_size, batch_size=8,
                 )
                 if out is not None:
                     precision, recall, ap, f1, ap_class = out
-                    self.logger.log(
-                        {
-                            "validation/precision": float(precision.mean()),
-                            "validation/recall": float(recall.mean()),
-                            "validation/mAP": float(ap.mean()),
-                            "validation/f1": float(f1.mean()),
-                        },
-                        step=epoch,
-                    )
+                    if self.is_main:
+                        self.logger.log(
+                            {
+                                "validation/precision": float(precision.mean()),
+                                "validation/recall": float(recall.mean()),
+                                "validation/mAP": float(ap.mean()),
+                                "validation/f1": float(f1.mean()),
+                            },
+                            step=epoch,
+                        )
                     for i, c in enumerate(ap_class):
                         name = self.class_names[int(c)] if int(c) < len(self.class_names) else str(c)
                         if name in self.best and ap[i] > self.best[name][0]:
                             self.best[name] = (float(ap[i]), epoch)
                     if ap.mean() > self.best["map"][0]:
                         self.best["map"] = (float(ap.mean()), epoch)
-                    print(f"---- epoch {epoch}: mAP {float(ap.mean()):.5f} "
-                          f"({epoch_time:.1f}s)")
-                else:
+                    if self.is_main:
+                        print(f"---- epoch {epoch}: mAP {float(ap.mean()):.5f} "
+                              f"({epoch_time:.1f}s)")
+                elif self.is_main:
                     print("---- mAP not measured (no detections found by model)")
 
             if epoch % cfg.checkpoint_interval == 0:
@@ -198,18 +241,35 @@ class Trainer:
             # the reference's modulo rule (train.py:205) never saves the
             # final epoch unless it lands on the interval; always keep it
             self.save_checkpoint(cfg.epochs - 1)
-        print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
-        print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
-        print("Best CAA mAP: {} @ epoch: {}".format(*self.best["CAA"]))
+        if self.is_main:
+            print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
+            print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
+            print("Best CAA mAP: {} @ epoch: {}".format(*self.best["CAA"]))
         return self.state
 
+    def _fetch(self, x):
+        """Host value of a (possibly process-spanning replicated) array."""
+        if self._dist is not None and self.nproc > 1:
+            return self._dist.fetch_replicated(x)
+        return x
+
+    def _host_tree(self, tree):
+        if self._dist is None or self.nproc == 1:
+            return tree
+        return jax.tree.map(lambda x: np.asarray(self._fetch(x)), tree)
+
     def save_checkpoint(self, epoch: int):
+        # Multi-host: EVERY host calls orbax together — its save path runs
+        # cross-host sync barriers, so a main-only save would leave the
+        # other hosts' next collective paired against the barrier (gloo
+        # payload-mismatch abort).  Orbax itself writes replicated/np data
+        # from the primary host only.
         path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{epoch}")
         weights_io.save_checkpoint(path, {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": np.asarray(self.state.step),
-            "seen": np.asarray(self.state.seen),
+            "params": self._host_tree(self.state.params),
+            "opt_state": self._host_tree(self.state.opt_state),
+            "step": np.asarray(self._fetch(self.state.step)),
+            "seen": np.asarray(self._fetch(self.state.seen)),
         })
 
     def load_checkpoint(self, path: str):
