@@ -18,6 +18,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 
 def _truthy(v) -> bool:
@@ -159,6 +160,58 @@ def cmd_detect(args) -> int:
         Image.fromarray(out).save(os.path.join(args.output_dir, out_name))
         for row in dets:
             print("\t+ Label: %s, Conf: %.5f" % (classes[int(row[6])], row[5]))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Long-running HTTP detection service (``serving.DetectionServer``):
+    micro-batched fixed-shape dispatch, POST /v1/detect, /healthz, /stats."""
+    from ..detectors import Detector
+    from ..domain import CAAFilter
+    from ..graphspec import yolov3_spec
+    from ..io import weights as W
+    from ..parsecfg import load_classes
+    from ..serving import DetectionServer
+
+    spec = yolov3_spec(num_classes=2)
+    params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
+    classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
+        else ["CAA", "Cored"]
+    det = Detector(spec, params, conf_thres=args.conf_thres,
+                   nms_thres=args.nms_thres, model_size=args.img_size,
+                   host_resize=_truthy(args.host_resize),
+                   **_fast_path_kwargs(args))
+    caa_filter = None
+    if _truthy(args.filter_CAA_detections_by_model):
+        caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
+                               normalization=args.caa_normalization,
+                               classes=classes)
+    server = DetectionServer(
+        det, classes, host=args.host, port=args.port,
+        batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        merge_boxes=_truthy(args.merge_boxes), caa_filter=caa_filter)
+    server.start()
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(batch {server.executor.batch_size}, precision {det.precision})",
+          flush=True)
+    if _truthy(args.warmup):
+        calib = None
+        if det.precision.startswith("int8") and args.calibration_folder:
+            from ..io.datasets import ImageFolder
+
+            folder = ImageFolder(args.calibration_folder,
+                                 tile_size=det.tile_size)
+            _, calib, _ = next(iter(folder.iter_batches(
+                min(len(folder), server.executor.batch_size))))
+        server.warmup(calib)
+        print("pipeline compiled; ready", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
     return 0
 
 
@@ -356,6 +409,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
     d.set_defaults(fn=cmd_detect)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8498)
+    sv.add_argument("--weights_path", type=str)
+    sv.add_argument("--class_path", type=str, default="data/custom/classes.names")
+    sv.add_argument("--conf_thres", type=float, default=0.8)
+    sv.add_argument("--nms_thres", type=float, default=0.4)
+    sv.add_argument("--img_size", type=int, default=416)
+    sv.add_argument("--batch_size", type=int, default=16,
+                    help="fixed micro-batch shape (one compiled program)")
+    sv.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="how long a lone request waits for company")
+    sv.add_argument("--merge_boxes", type=str, default="True")
+    sv.add_argument("--host_resize", type=str, default="False",
+                    help="resize tiles host-side before transfer (thin links)")
+    sv.add_argument("--warmup", type=str, default="True",
+                    help="compile the pipeline before reporting ready")
+    sv.add_argument("--calibration_folder", type=str, default=None,
+                    help="representative tiles for int8 scale calibration "
+                         "(int8 precisions; otherwise the first traffic "
+                         "calibrates, with a degenerate-scale warning)")
+    sv.add_argument("--filter_CAA_detections_by_model", type=str, default="False")
+    sv.add_argument("--caa_model_pickle", type=str,
+                    default="pickles/model_all_fold_3_thresholding_2_l2.pkl")
+    sv.add_argument("--caa_normalization", type=str, default="pickles/normalization.npy")
+    sv.add_argument("--precision", type=str, default=None,
+                    choices=["int8_early", "int8_full"],
+                    help="int8 flavor for --fast_path (default int8_early)")
+    sv.add_argument("--fast_path", type=str, default="False",
+                    help="gated non-parity fast stack (int8 + lazy decode + "
+                         "approx top-k)")
+    sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("sweep")
     s.add_argument("--directory", type=str, required=True,

@@ -59,6 +59,37 @@ def pad_to_square_np(img: np.ndarray, pad_value: int = 0) -> Tuple[np.ndarray, T
     return img, (l, r, t, b)
 
 
+def _consume_prefetched(q: "queue.Queue", t: threading.Thread,
+                        stop: threading.Event):
+    """Yield items a producer thread puts on ``q`` (None = end,
+    BaseException = re-raise), and on ANY exit — end-of-stream, consumer
+    break, abandoned generator (GeneratorExit) — signal ``stop`` and drain
+    until the producer has really finished.
+
+    The drain is load-bearing, not hygiene: a consumer that abandons the
+    generator early (``next(iter(...))``) would otherwise run cleanup while
+    the producer is still inside native code — destroying the C++ TilePool
+    mid-``decode_batch`` corrupts the heap (malloc "unaligned tcache chunk"
+    abort, found driving `amyolo serve --calibration_folder`) — or leak one
+    forever-blocked ``q.put`` thread per abandoned epoch.
+    """
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+
+
 class ImageFolder:
     """Sorted folder of images, yielded as fixed-size uint8 batches.
 
@@ -130,10 +161,14 @@ class ImageFolder:
                 print(f"Could not read image '{self.files[i % len(self.files)]}': {e}")
                 return None
 
+        stop = threading.Event()
+
         def produce(q: "queue.Queue"):
             try:
                 pending = []
                 for i in range(len(self.files)):
+                    if stop.is_set():
+                        break
                     item = load_valid(i)
                     if item is None:
                         continue
@@ -141,7 +176,7 @@ class ImageFolder:
                     if len(pending) == batch_size:
                         q.put(self._pack(pending, batch_size))
                         pending = []
-                if pending:
+                if pending and not stop.is_set():
                     q.put(self._pack(pending, batch_size))
             except BaseException as e:  # propagate to consumer, don't die silently
                 q.put(e)
@@ -150,13 +185,7 @@ class ImageFolder:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from _consume_prefetched(q, t, stop)
 
     def _native_pool(self):
         """Use the C++ decode pool when the folder is all-JPEG and a fixed
@@ -185,11 +214,13 @@ class ImageFolder:
                     denom = d
                     break
 
+        stop = threading.Event()
+
         def produce(q: "queue.Queue"):
             try:
                 pending_paths: List[str] = list(self.files)
                 start = 0
-                while start < len(pending_paths):
+                while start < len(pending_paths) and not stop.is_set():
                     chunk = pending_paths[start:start + batch_size]
                     batch, ok, dims = pool.decode_batch(chunk, self.tile_size,
                                                         resize,
@@ -220,13 +251,10 @@ class ImageFolder:
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            # _consume_prefetched's drain-join runs FIRST on close (inner
+            # generator closes before this finally), so the pool is never
+            # destroyed while the producer is inside decode_batch
+            yield from _consume_prefetched(q, t, stop)
         finally:
             pool.close()
 
@@ -419,9 +447,13 @@ class ListDataset:
             order = order[: len(order) - (len(order) % batch_size)]
         local_b = batch_size // nproc
 
+        stop = threading.Event()
+
         def produce(q: "queue.Queue"):
             try:
                 for start in range(0, len(order), batch_size):
+                    if stop.is_set():
+                        break
                     idxs = order[start:start + batch_size]
                     if shard is None:
                         batch = self.collate([self[i] for i in idxs])
@@ -432,17 +464,14 @@ class ListDataset:
                                              fixed_size=True)
                     if batch is not None:
                         q.put(batch)
-            finally:
-                q.put(None)
+            except BaseException as e:  # surface decode bugs, don't drop them
+                q.put(e)
+            q.put(None)
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        yield from _consume_prefetched(q, t, stop)
 
 
 __all__ = ["ImageFolder", "ListDataset", "load_image_rgb", "pad_to_square_np"]

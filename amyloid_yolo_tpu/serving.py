@@ -1,0 +1,361 @@
+"""Production serving surface: HTTP detection service with micro-batching.
+
+New capability (no reference counterpart — the reference's deployment story
+is batch scripts over tile folders, ``detect.py:88-139`` /
+``validation.py:100-129``); the per-request semantics reproduce the detect
+path exactly: square-pad into the tile frame, compiled device pipeline,
+rescale back to the image's own pixel space (``detect.py:129``), optional
+union merge + CAA filter (``core.py:366-423`` / ``core.py:173-231``).
+
+TPU-shaped by design:
+
+* **One compiled program.**  Every dispatch sees the same static batch
+  shape — requests are gathered by a :class:`BatchingExecutor` and padded
+  to ``batch_size`` (repeating the last tile, exactly like
+  ``ImageFolder._pack``), so there is never a recompile after warmup.
+* **Micro-batching.**  Requests arriving within ``max_wait_ms`` of each
+  other ride the same device dispatch; an idle server still answers a lone
+  request within ~``max_wait_ms``.  The executor thread is the only place
+  that touches the device, so host-side decode (per-request threads) and
+  device compute overlap naturally.
+* **Zero dependencies.**  ``http.server.ThreadingHTTPServer`` + PIL; no
+  web framework.
+
+Endpoints:
+
+* ``POST /v1/detect`` — request body: encoded image bytes (JPEG/PNG/…).
+  Query params: ``merge`` (union-merge overlapping boxes, default 1),
+  ``caa_filter`` (apply the consensus CAA model filter if the server was
+  started with one, default 1).  Response: JSON
+  ``{"detections": [{"x1","y1","x2","y2","conf","cls_conf","cls","label"}],
+  "image_hw": [H, W]}`` in the image's own pixel space.
+* ``GET /healthz`` — liveness + backend/device info.
+* ``GET /stats`` — request/dispatch counters (``batched_ratio`` > 1 means
+  micro-batching is working).
+
+Usage::
+
+    amyolo serve --weights_path ckpt.pth --port 8498 --fast_path True
+
+or in code::
+
+    server = DetectionServer(Detector(...), class_names=["CAA", "Cored"])
+    server.start()            # returns immediately; .port is bound
+    ...
+    server.stop()
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .detectors import Detector
+from .io.datasets import pad_to_square_np
+from .ops.boxes import rescale_from_tile_frame
+from .ops.merge import merge_detections
+from .ops.preprocess import nearest_indices
+
+
+class _Pending:
+    """One in-flight request: a tile plus an Event the executor sets."""
+
+    __slots__ = ("tile", "event", "result", "error")
+
+    def __init__(self, tile: np.ndarray):
+        self.tile = tile
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class BatchingExecutor:
+    """Gathers concurrent requests into fixed-shape device batches.
+
+    The device sees one static batch shape forever: fewer than
+    ``batch_size`` pending requests are padded by repeating the last tile
+    (the ``ImageFolder._pack`` convention), extra requests wait for the
+    next dispatch.  ``max_wait_ms`` bounds the time a lone request waits
+    for company.
+    """
+
+    def __init__(self, detector: Detector, batch_size: int = 16,
+                 max_wait_ms: float = 5.0):
+        self.detector = detector
+        self.batch_size = int(batch_size)
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: List[_Pending] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        # stats
+        self.n_requests = 0
+        self.n_dispatches = 0
+        self.n_errors = 0
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="amyolo-batcher")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, tile: np.ndarray, timeout: float = 120.0) -> Optional[np.ndarray]:
+        """Block until this tile's detections (ragged (N,7) or None) exist."""
+        p = _Pending(tile)
+        with self._lock:
+            self._queue.append(p)
+            self.n_requests += 1
+        self._wake.set()
+        if not p.event.wait(timeout):
+            raise TimeoutError("detection dispatch timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    # -- executor thread ----------------------------------------------------
+
+    def _run(self):
+        while not self._stop:
+            self._wake.wait()
+            if self._stop:
+                return
+            # linger briefly so near-simultaneous requests share a dispatch
+            deadline = time.monotonic() + self.max_wait
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if len(self._queue) >= self.batch_size:
+                        break
+                time.sleep(self.max_wait / 5.0)
+            with self._lock:
+                batch = self._queue[:self.batch_size]
+                del self._queue[:len(batch)]
+                if not self._queue:
+                    self._wake.clear()
+            if not batch:
+                continue
+            try:
+                tiles = [p.tile for p in batch]
+                while len(tiles) < self.batch_size:
+                    tiles.append(tiles[-1])
+                ragged = self.detector.detect_batch_ragged(np.stack(tiles))
+                self.n_dispatches += 1
+                for p, det in zip(batch, ragged):
+                    p.result = det
+                    p.event.set()
+            except BaseException as e:  # surface to every waiter, keep serving
+                self.n_errors += 1
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+
+
+class DetectionServer:
+    """HTTP detection service around one :class:`Detector`.
+
+    ``merge_boxes`` / ``caa_filter`` set the per-request defaults (query
+    params override ``merge``/``caa_filter`` per call).  ``class_names``
+    labels the ``cls`` index in responses (reference classes: CAA, Cored).
+    """
+
+    def __init__(
+        self,
+        detector: Detector,
+        class_names: Sequence[str] = ("CAA", "Cored"),
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        batch_size: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+        merge_boxes: bool = True,
+        caa_filter=None,
+    ):
+        self.detector = detector
+        self.class_names = list(class_names)
+        self.merge_boxes = merge_boxes
+        self.caa_filter = caa_filter
+        self.executor = BatchingExecutor(
+            detector, batch_size or 16, max_wait_ms)
+        self._t0 = time.time()
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+        # resize index for non-tile-sized squares (cached per side)
+        self._ridx_cache: Dict[int, np.ndarray] = {}
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        self.executor.start()
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="amyolo-http")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.executor.stop()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def warmup(self, calibration_tiles: Optional[np.ndarray] = None):
+        """Compile the pipeline before accepting traffic (optional; the
+        first real request triggers it otherwise).
+
+        For int8 precisions pass ``calibration_tiles`` (a representative
+        uint8 batch) — scales calibrated on them, not on the warmup
+        traffic.  Without it the warmup tile is NOISE, never zeros: a
+        blank tile would lazily calibrate degenerate scales
+        (``Detector.calibrate`` docstring) and poison every real request.
+        """
+        if calibration_tiles is not None:
+            self.detector.calibrate(np.asarray(calibration_tiles))
+        side = (self.detector.model_size if self.detector.host_resize
+                else self.detector.tile_size)
+        tile = np.random.RandomState(0).randint(
+            0, 255, (side, side, 3)).astype(np.uint8)
+        self.executor.submit(tile, timeout=1200.0)
+
+    # -- request plumbing -----------------------------------------------------
+
+    def _to_tile_frame(self, img: np.ndarray) -> np.ndarray:
+        """Square-pad + fill the tile frame (ImageFolder.__getitem__
+        geometry, datasets.py) so border-sized inputs behave exactly like
+        the folder path; then the optional host resize."""
+        img, _ = pad_to_square_np(img)
+        det = self.detector
+        if img.shape[0] != det.tile_size:
+            idx = self._ridx(det.tile_size, img.shape[0])
+            img = np.ascontiguousarray(img[idx][:, idx])
+        if det.host_resize:
+            idx = self._ridx(det.model_size, det.tile_size)
+            img = np.ascontiguousarray(img[idx][:, idx])
+        return img
+
+    def _ridx(self, dst: int, src: int) -> np.ndarray:
+        key = dst * 1000003 + src
+        got = self._ridx_cache.get(key)
+        if got is None:
+            got = self._ridx_cache[key] = nearest_indices(dst, src)
+        return got
+
+    def _detect_one(self, body: bytes, merge: bool, caa: bool) -> dict:
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+        h, w = img.shape[:2]
+        tile = self._to_tile_frame(img)
+        det = self.executor.submit(tile)
+        if det is not None and (h, w) != (self.detector.tile_size,) * 2:
+            det = rescale_from_tile_frame(det, self.detector.tile_size, (h, w))
+        if det is not None and merge:
+            det = merge_detections(det)
+        if det is not None and len(det) and caa and self.caa_filter is not None:
+            # CAAFilter array form: crops come from the request's own image,
+            # detections already in its pixel space (reference applies the
+            # filter post-rescale, core.py:432-444)
+            det = self.caa_filter(img, det)
+        rows = []
+        for r in (det if det is not None and len(det) else []):
+            cls = int(r[6])
+            rows.append({
+                "x1": float(r[0]), "y1": float(r[1]),
+                "x2": float(r[2]), "y2": float(r[3]),
+                "conf": float(r[4]), "cls_conf": float(r[5]), "cls": cls,
+                "label": (self.class_names[cls]
+                          if 0 <= cls < len(self.class_names) else str(cls)),
+            })
+        return {"detections": rows, "image_hw": [h, w]}
+
+    def _stats(self) -> dict:
+        ex = self.executor
+        return {
+            "uptime_s": round(time.time() - self._t0, 3),
+            "requests": ex.n_requests,
+            "dispatches": ex.n_dispatches,
+            "errors": ex.n_errors,
+            "batched_ratio": round(ex.n_requests / max(ex.n_dispatches, 1), 3),
+            "batch_size": ex.batch_size,
+            "precision": self.detector.precision,
+        }
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    import jax
+
+                    self._send(200, {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "devices": len(jax.devices()),
+                        "compiled": server.detector._fn is not None,
+                    })
+                elif path == "/stats":
+                    self._send(200, server._stats())
+                else:
+                    self._send(404, {"error": f"unknown path {path}"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/v1/detect":
+                    self._send(404, {"error": f"unknown path {url.path}"})
+                    return
+                q = parse_qs(url.query)
+
+                def flag(name, default):
+                    v = q.get(name, [None])[0]
+                    return default if v is None else v not in ("0", "false", "False")
+
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length <= 0:
+                        self._send(400, {"error": "empty body"})
+                        return
+                    body = self.rfile.read(length)
+                    out = server._detect_one(
+                        body, flag("merge", server.merge_boxes),
+                        flag("caa_filter", server.caa_filter is not None))
+                    self._send(200, out)
+                except TimeoutError as e:
+                    self._send(503, {"error": str(e)})
+                except Exception as e:  # bad image, etc.
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+
+__all__ = ["DetectionServer", "BatchingExecutor"]

@@ -15,7 +15,8 @@ def test_truthy_reference_convention():
 
 def test_parser_commands():
     p = build_parser()
-    for cmd in ["train", "test", "detect", "sweep", "crop", "clear", "bench", "export"]:
+    for cmd in ["train", "test", "detect", "sweep", "crop", "clear", "bench",
+                "export", "serve"]:
         args = p.parse_args([cmd] + (
             ["--weights_path", "x"] if cmd == "test" else
             ["--wsi_dirs", "a"] if cmd == "crop" else

@@ -200,3 +200,40 @@ def test_list_dataset_host_resize_bit_identical(tmp_path):
         assert b_host["images"].shape[1] == s
         np.testing.assert_array_equal(want, got)
         np.testing.assert_array_equal(b_full["targets"], b_host["targets"])
+
+
+def test_abandoned_folder_iterator_joins_producer(data_dir):
+    """Abandoning iter_batches after one item (the `amyolo serve
+    --calibration_folder` pattern) must stop and JOIN the producer thread
+    before cleanup — closing the native TilePool while a decode is in
+    flight corrupts the heap (malloc tcache abort, found in the field)."""
+    import threading
+
+    folder = ImageFolder(str(data_dir / "images"), tile_size=256)
+    before = set(threading.enumerate())
+    it = folder.iter_batches(2)
+    _, batch, nv = next(it)
+    assert batch.shape[0] == 2
+    it.close()  # what GC does to an abandoned generator
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    assert not leaked, leaked
+    # the folder remains fully usable afterwards (fresh pool/iterator)
+    assert sum(nv for _, _, nv in folder.iter_batches(2)) == 5
+
+
+def test_abandoned_epoch_iterator_joins_producer(data_dir):
+    """The trainer's max_batches_per_epoch break must not leak one
+    forever-blocked q.put producer thread per epoch."""
+    import threading
+
+    ds = ListDataset(str(data_dir / "train.txt"), img_size=64,
+                     multiscale=False, augment=False)
+    before = set(threading.enumerate())
+    for _ in range(3):  # three "epochs", each abandoned after one batch
+        it = ds.iter_epoch(2, shuffle=False)
+        assert next(it) is not None
+        it.close()
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    assert not leaked, leaked

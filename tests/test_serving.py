@@ -1,0 +1,172 @@
+"""HTTP serving surface: micro-batched detection service (CPU, mini model).
+
+New-capability tests (no reference counterpart); per-request semantics must
+match the detect-folder path exactly — same tile-frame geometry, same
+rescale/merge postprocessing (reference detect.py:88-139 semantics).
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amyloid_yolo_tpu.detectors import Detector
+from amyloid_yolo_tpu.serving import BatchingExecutor, DetectionServer
+
+from minispec import mini_spec
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def server():
+    spec = mini_spec(num_classes=2, img_size=64)
+    from amyloid_yolo_tpu.models import darknet
+
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    det = Detector(spec, params, conf_thres=0.3, nms_thres=0.4,
+                   model_size=64, tile_size=256, capacity=16,
+                   compute_dtype=jnp.float32)
+    srv = DetectionServer(det, ["CAA", "Cored"], port=0, batch_size=4,
+                          max_wait_ms=30.0)
+    srv.start()
+    srv.warmup()
+    yield srv
+    srv.stop()
+
+
+def test_healthz_and_stats(server):
+    code, out = _get(f"http://127.0.0.1:{server.port}/healthz")
+    assert code == 200 and out["status"] == "ok" and out["compiled"]
+    code, out = _get(f"http://127.0.0.1:{server.port}/stats")
+    assert code == 200 and out["requests"] >= 1  # warmup counted
+
+
+def test_detect_matches_direct_path(server, rng):
+    """A served 256² tile returns exactly the direct Detector+merge result."""
+    from amyloid_yolo_tpu.ops.merge import merge_detections
+
+    tile = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+    code, out = _post(
+        f"http://127.0.0.1:{server.port}/v1/detect", _png_bytes(tile))
+    assert code == 200
+    assert out["image_hw"] == [256, 256]
+
+    expected = server.detector.detect_batch_ragged(
+        np.stack([tile] * 4))[0]
+    if expected is not None:
+        expected = merge_detections(expected)
+    got = np.array([[r["x1"], r["y1"], r["x2"], r["y2"], r["conf"],
+                     r["cls_conf"], r["cls"]] for r in out["detections"]],
+                   np.float32).reshape(-1, 7)
+    exp = (np.zeros((0, 7), np.float32) if expected is None
+           else np.asarray(expected, np.float32))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+    for r in out["detections"]:
+        assert r["label"] in ("CAA", "Cored")
+
+
+def test_detect_nonstandard_size_rescales(server, rng):
+    """Non-tile-sized inputs come back in their own pixel space (the
+    ImageFolder border-tile geometry + rescale_from_tile_frame)."""
+    img = rng.randint(0, 255, (100, 80, 3)).astype(np.uint8)
+    code, out = _post(
+        f"http://127.0.0.1:{server.port}/v1/detect", _png_bytes(img))
+    assert code == 200
+    assert out["image_hw"] == [100, 80]
+    for r in out["detections"]:
+        # boxes live in the padded-square frame of the ORIGINAL image
+        assert -1 <= r["x1"] <= 101 and -1 <= r["y2"] <= 101
+
+
+def test_concurrent_requests_share_dispatches(server, rng):
+    """12 simultaneous posts with batch_size=4 must run in far fewer than
+    12 dispatches (micro-batching actually batches)."""
+    before = server.executor.n_dispatches
+    body = _png_bytes(rng.randint(0, 255, (256, 256, 3)).astype(np.uint8))
+    results, errs = [], []
+
+    def go():
+        try:
+            results.append(_post(
+                f"http://127.0.0.1:{server.port}/v1/detect", body))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=go) for _ in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    assert len(results) == 12 and all(c == 200 for c, _ in results)
+    # identical input -> identical output across every request
+    first = results[0][1]
+    assert all(out == first for _, out in results)
+    used = server.executor.n_dispatches - before
+    assert used <= 8, f"expected micro-batching, got {used} dispatches"
+
+
+def test_bad_requests(server):
+    code = urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/healthz")).status
+    assert code == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"http://127.0.0.1:{server.port}/v1/detect", b"not an image")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"http://127.0.0.1:{server.port}/nope")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"http://127.0.0.1:{server.port}/v1/detect", b"")
+    assert ei.value.code == 400
+
+
+def test_executor_survives_device_error(rng):
+    """A failing dispatch surfaces to its waiters and the executor keeps
+    serving later requests."""
+
+    class Boom:
+        def __init__(self):
+            self.calls = 0
+
+        def detect_batch_ragged(self, batch):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("injected device failure")
+            return [None] * len(batch)
+
+    ex = BatchingExecutor(Boom(), batch_size=2, max_wait_ms=1.0).start()
+    try:
+        tile = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(RuntimeError, match="injected"):
+            ex.submit(tile, timeout=30)
+        assert ex.submit(tile, timeout=30) is None
+        assert ex.n_errors == 1
+    finally:
+        ex.stop()
