@@ -1,0 +1,185 @@
+"""Load benchmark for the HTTP detection service (``amyolo serve``).
+
+New-capability tooling (no reference counterpart — the reference's
+throughput story is the offline folder sweep, ``validation.py:282-366``;
+the serving analog measures the same device pipeline behind concurrent
+HTTP requests).  Spawns a :class:`~amyloid_yolo_tpu.serving.DetectionServer`
+IN-PROCESS (one JAX process — see CLAUDE.md hazards) plus ``--concurrency``
+client threads that POST one pre-encoded JPEG in a closed loop for
+``--duration`` seconds, then prints one JSON line:
+
+    {"req_per_s": ..., "p50_ms": ..., "p90_ms": ..., "p99_ms": ...,
+     "batched_ratio": ..., "errors": 0, ...}
+
+Two interesting operating points on a 1-core host:
+
+* ``--img_side 1536`` (default): the production tile size.  Each request
+  pays a full 1536^2 JPEG decode on the host, so the service is
+  host-decode-bound here, NOT device-bound — the device pipeline alone
+  does ~2400 tiles/s (BENCH.md) while one CPU core Huffman-decodes ~25
+  tiles/s.  ``batched_ratio`` stays near 1 at low concurrency because
+  decode serializes arrivals.
+* ``--img_side 416``: pre-resized clients (e.g. an upstream tiler that
+  already emits model-sized tiles).  Decode is ~13x cheaper, so the same
+  host sustains far more requests and micro-batching engages
+  (``batched_ratio`` > 1).
+
+Usage (run alone — never beside another heavy JAX process)::
+
+    python tools/serve_bench.py --precision int8_full --fast_path True \
+        --concurrency 32 --duration 30
+    python tools/serve_bench.py --img_side 416 --concurrency 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _truthy(v) -> bool:
+    return str(v) in ("True", "true", "1")
+
+
+def make_jpeg(side: int, quality: int = 90) -> bytes:
+    """One representative tile: smooth background + hard blobs, so the
+    JPEG is realistically sized (pure noise over-weights Huffman cost)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:side, 0:side]
+    img = (128 + 40 * np.sin(yy / 97.0) + 40 * np.cos(xx / 61.0))
+    img = np.stack([img, img * 0.9, img * 0.8], -1)
+    for _ in range(24):
+        cy, cx = rng.randint(0, side, 2)
+        r = rng.randint(side // 64 + 2, side // 16 + 4)
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        img[m] = rng.randint(0, 255, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img.clip(0, 255).astype(np.uint8)).save(
+        buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def run_client(host: str, port: int, body: bytes, deadline: float,
+               lat_ms: list, errors: list):
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    while time.monotonic() < deadline:
+        t0 = time.monotonic()
+        try:
+            conn.request("POST", "/v1/detect", body=body,
+                         headers={"Content-Type": "application/octet-stream"})
+            resp = conn.getresponse()
+            resp.read()
+            if resp.status != 200:
+                errors.append(resp.status)
+                continue
+        except Exception as e:  # connection reset at shutdown etc.
+            errors.append(type(e).__name__)
+            conn = http.client.HTTPConnection(host, port, timeout=300)
+            continue
+        lat_ms.append((time.monotonic() - t0) * 1e3)
+    conn.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", type=str, default="int8_full",
+                    choices=["bf16", "int8_early", "int8_full"])
+    ap.add_argument("--fast_path", type=str, default="True")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--concurrency", type=int, default=32)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--img_side", type=int, default=1536)
+    ap.add_argument("--host_resize", type=str, default="True",
+                    help="server-side nearest resize before transfer "
+                         "(keeps the tunnel at 416^2; BENCH.md)")
+    ap.add_argument("--img", type=str, default=None,
+                    help="POST this image file instead of the synthetic tile")
+    args = ap.parse_args()
+
+    from amyloid_yolo_tpu.detectors import Detector
+    from amyloid_yolo_tpu.graphspec import yolov3_spec
+    from amyloid_yolo_tpu.serving import DetectionServer
+
+    fast = _truthy(args.fast_path)
+    kw = {}
+    if fast:  # the gated fast stack, mirroring cli._fast_path_kwargs
+        kw = {"precision": args.precision, "lazy_decode": True,
+              "approx_topk": True}
+        if args.precision == "int8_early":
+            kw["int8_downsample"] = 32
+        elif args.precision == "int8_full":
+            kw["s2d_stem"] = True
+    det = Detector(
+        yolov3_spec(num_classes=2), None, conf_thres=0.5, nms_thres=0.4,
+        host_resize=_truthy(args.host_resize), **kw)
+    server = DetectionServer(det, host="127.0.0.1", port=0,
+                             batch_size=args.batch_size,
+                             max_wait_ms=args.max_wait_ms)
+    server.start()
+    if args.img:
+        body = open(args.img, "rb").read()
+    else:
+        body = make_jpeg(args.img_side)
+    # calibrate on the actual traffic tile (int8), compile before timing
+    calib = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(
+        io.BytesIO(body)).convert("RGB"))
+    if calib.shape[0] != det.tile_size:
+        from amyloid_yolo_tpu.ops.preprocess import nearest_indices
+
+        idx = nearest_indices(det.tile_size, calib.shape[0])
+        calib = np.ascontiguousarray(calib[idx][:, idx])
+    server.warmup(np.broadcast_to(calib, (args.batch_size,) + calib.shape))
+    print(f"compiled; driving {args.concurrency} clients for "
+          f"{args.duration:.0f}s ({len(body)/1e3:.0f} kB JPEG, "
+          f"side {args.img_side})", file=sys.stderr, flush=True)
+
+    lat_ms: list = []
+    errors: list = []
+    deadline = time.monotonic() + args.duration
+    threads = [threading.Thread(
+        target=run_client,
+        args=("127.0.0.1", server.port, body, deadline, lat_ms, errors),
+        daemon=True) for _ in range(args.concurrency)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=args.duration + 300)
+    wall = time.monotonic() - t0
+    stats = server._stats()
+    server.stop()
+
+    lat = np.sort(np.asarray(lat_ms)) if lat_ms else np.asarray([0.0])
+    out = {
+        "req_per_s": round(len(lat_ms) / wall, 2),
+        "n_ok": len(lat_ms),
+        "errors": len(errors),
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p90_ms": round(float(np.percentile(lat, 90)), 1),
+        "p99_ms": round(float(np.percentile(lat, 99)), 1),
+        "batched_ratio": stats["batched_ratio"],
+        "dispatches": stats["dispatches"],
+        "concurrency": args.concurrency,
+        "img_side": args.img_side,
+        "precision": det.precision,
+        "batch_size": args.batch_size,
+    }
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
