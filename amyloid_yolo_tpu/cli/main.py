@@ -189,7 +189,9 @@ def cmd_serve(args) -> int:
     server = DetectionServer(
         det, classes, host=args.host, port=args.port,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-        merge_boxes=_truthy(args.merge_boxes), caa_filter=caa_filter)
+        merge_boxes=_truthy(args.merge_boxes), caa_filter=caa_filter,
+        native_decode=_truthy(args.native_decode),
+        fast_decode=_truthy(args.fast_decode))
     server.start()
     print(f"serving on http://{args.host}:{server.port} "
           f"(batch {server.executor.batch_size}, precision {det.precision})",
@@ -441,6 +443,13 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--fast_path", type=str, default="False",
                     help="gated non-parity fast stack (int8 + lazy decode + "
                          "approx top-k)")
+    sv.add_argument("--native_decode", type=str, default="True",
+                    help="C++ in-memory JPEG decode for exact-tile requests "
+                         "(bit-identical, GIL-free; PIL fallback otherwise)")
+    sv.add_argument("--fast_decode", type=str, default="False",
+                    help="DCT-scaled native decode when --host_resize True "
+                         "(non-parity pixels, same opt-in as ImageFolder "
+                         "fast_decode)")
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("sweep")

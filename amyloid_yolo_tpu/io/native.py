@@ -60,6 +60,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.tile_decode_mem.restype = ctypes.c_int
+        lib.tile_decode_mem.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
 
@@ -125,4 +131,37 @@ def decode_one(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
     return out if rc == 0 else None
 
 
-__all__ = ["TilePool", "available", "decode_one"]
+def decode_tile_bytes(data: bytes, tile_size: int, resize_to: int = 0,
+                      scale_denom: int = 1):
+    """Serving fast path: decode an in-memory JPEG that is EXACTLY
+    (tile_size, tile_size) → (img uint8 (side, side, 3), (src_h, src_w))
+    where side = resize_to or tile_size.
+
+    Returns ``None`` when the library is unavailable, the JPEG is corrupt,
+    or the geometry is not exactly tile-sized (the C side rejects after the
+    header, so the miss costs ~nothing) — callers fall back to the general
+    PIL + pad_to_square path.  ``resize_to`` applies the native nearest
+    gather (bit-identical to ``ops.preprocess.nearest_indices``);
+    ``scale_denom > 1`` opts into DCT-scaled decode (``fast_decode``
+    semantics: the scaled rendition, NOT bit-identical).  The C call runs
+    with the GIL released (ctypes CDLL), so concurrent request threads
+    decode in parallel on multi-core hosts.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    side = resize_to or tile_size
+    out = np.empty((side, side, 3), np.uint8)
+    src_h = ctypes.c_int(0)
+    src_w = ctypes.c_int(0)
+    rc = lib.tile_decode_mem(
+        data, ctypes.c_ulong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tile_size, resize_to, scale_denom,
+        ctypes.byref(src_h), ctypes.byref(src_w))
+    if rc != 0:
+        return None
+    return out, (src_h.value, src_w.value)
+
+
+__all__ = ["TilePool", "available", "decode_one", "decode_tile_bytes"]

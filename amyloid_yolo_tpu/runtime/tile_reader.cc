@@ -100,6 +100,57 @@ int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
   return 0;
 }
 
+// In-memory variant (HTTP request bodies, serving.py): same semantics as
+// decode_jpeg_into but sourced from a caller buffer via jpeg_mem_src.
+// When require_h/require_w > 0, returns 3 right after the header if the
+// source dimensions differ — the serving fast path uses this to reject
+// non-tile-sized images for ~free (no scanline work) and fall back to the
+// general pad_to_square path.
+int decode_jpeg_mem_into(const uint8_t* buf, unsigned long len, uint8_t* out,
+                         int out_h, int out_w, int scale_num, int scale_denom,
+                         int* src_h = nullptr, int* src_w = nullptr,
+                         int require_h = 0, int require_w = 0) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (src_h) *src_h = static_cast<int>(cinfo.image_height);
+  if (src_w) *src_w = static_cast<int>(cinfo.image_width);
+  if ((require_h && static_cast<int>(cinfo.image_height) != require_h) ||
+      (require_w && static_cast<int>(cinfo.image_width) != require_w)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = scale_num;
+  cinfo.scale_denom = scale_denom;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = static_cast<int>(cinfo.output_width);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
+  const int copy_w = w < out_w ? w : out_w;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rp = row.data();
+    int y = static_cast<int>(cinfo.output_scanline);
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    if (y < out_h) {
+      std::memcpy(out + (static_cast<size_t>(y) * out_w) * 3, row.data(),
+                  static_cast<size_t>(copy_w) * 3);
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // nearest gather: src (src_h, src_w, 3) -> dst (dst, dst, 3) using
 // floor(i * src/dst) indices (torch/JAX nearest parity).
 void nearest_resize(const uint8_t* src, int src_h, int src_w, uint8_t* dst,
@@ -243,6 +294,33 @@ void tile_pool_decode_batch(void* pool, const char** paths, int n,
 // Single-image convenience (used by tests and the CAA-filter crop path).
 int tile_decode_one(const char* path, uint8_t* out, int out_h, int out_w) {
   return decode_jpeg_into(path, out, out_h, out_w, 1, 1);
+}
+
+// Serving fast path (serving.py:_detect_one): decode an in-memory JPEG
+// that must be EXACTLY (tile_size, tile_size) — other geometries return 3
+// after the header only (cheap), and the caller takes the general
+// pad_to_square path.  resize_to > 0 applies the nearest gather
+// (floor(i*src/dst), parity with ops.preprocess.nearest_indices);
+// scale_denom > 1 opts into the DCT-domain scaled decode (fast_decode
+// semantics — see Pool::run above; NOT bit-identical to full decode).
+// out must hold side*side*3 bytes where side = resize_to ? resize_to
+// : tile_size.  Returns 0 ok / 2 corrupt / 3 wrong geometry.
+int tile_decode_mem(const uint8_t* jpeg, unsigned long len, uint8_t* out,
+                    int tile_size, int resize_to, int scale_denom,
+                    int* src_h, int* src_w) {
+  if (resize_to == 0 || resize_to == tile_size) {
+    return decode_jpeg_mem_into(jpeg, len, out, tile_size, tile_size, 1, 1,
+                                src_h, src_w, tile_size, tile_size);
+  }
+  const int denom = (scale_denom > 1 && tile_size % scale_denom == 0 &&
+                     tile_size / scale_denom >= resize_to)
+                        ? scale_denom : 1;
+  const int dec = tile_size / denom;
+  std::vector<uint8_t> scratch(static_cast<size_t>(dec) * dec * 3);
+  int rc = decode_jpeg_mem_into(jpeg, len, scratch.data(), dec, dec, 1, denom,
+                                src_h, src_w, tile_size, tile_size);
+  if (rc == 0) nearest_resize(scratch.data(), dec, dec, out, resize_to);
+  return rc;
 }
 
 }  // extern "C"

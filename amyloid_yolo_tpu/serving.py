@@ -20,6 +20,14 @@ TPU-shaped by design:
   device compute overlap naturally.
 * **Zero dependencies.**  ``http.server.ThreadingHTTPServer`` + PIL; no
   web framework.
+* **Native decode.**  Exact-tile-sized JPEG bodies skip PIL and decode
+  through the C++ runtime (``runtime/tile_reader.cc::tile_decode_mem``,
+  bit-identical, GIL released → request threads decode in parallel on
+  multi-core hosts); any other payload (PNG, border tiles, corrupt)
+  falls back to the PIL + ``pad_to_square`` path with identical
+  semantics.  ``fast_decode=True`` additionally opts the host-resize
+  configuration into DCT-scaled decode (the ``ImageFolder(fast_decode)``
+  trade, non-parity pixels).
 
 Endpoints:
 
@@ -58,6 +66,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from .detectors import Detector
+from .io import native as _native
 from .io.datasets import pad_to_square_np
 from .ops.boxes import rescale_from_tile_frame
 from .ops.merge import merge_detections
@@ -182,6 +191,8 @@ class DetectionServer:
         max_wait_ms: float = 5.0,
         merge_boxes: bool = True,
         caa_filter=None,
+        native_decode: bool = True,
+        fast_decode: bool = False,
     ):
         self.detector = detector
         self.class_names = list(class_names)
@@ -195,6 +206,22 @@ class DetectionServer:
         self._thread: Optional[threading.Thread] = None
         # resize index for non-tile-sized squares (cached per side)
         self._ridx_cache: Dict[int, np.ndarray] = {}
+        # Native decode fast path: exact-tile-sized JPEGs skip PIL and go
+        # through the C++ reader (GIL released → request threads decode in
+        # parallel); bit-identical to the PIL path (tested).  fast_decode
+        # additionally opts into the DCT-scaled decode when host_resize
+        # gives a gather target (same opt-in + parity caveat as
+        # ImageFolder(fast_decode=True), datasets.py).
+        self._native_ok = bool(native_decode) and _native.available()
+        self._scale_denom = 1
+        if fast_decode and detector.host_resize:
+            for d in (8, 4, 2):  # largest scale still >= the gather target
+                if (detector.tile_size % d == 0
+                        and detector.tile_size // d >= detector.model_size):
+                    self._scale_denom = d
+                    break
+        self._n_native = 0
+        self._native_lock = threading.Lock()
 
     @property
     def port(self) -> int:
@@ -257,17 +284,34 @@ class DetectionServer:
         return got
 
     def _detect_one(self, body: bytes, merge: bool, caa: bool) -> dict:
-        from PIL import Image
+        use_caa = caa and self.caa_filter is not None
+        img = None
+        tile = None
+        if self._native_ok and not use_caa:
+            # Fast path: exact-tile JPEG, no CAA crops needed from the
+            # original image.  Non-tile geometries are rejected by the C
+            # side right after the JPEG header (cheap) → PIL fallback.
+            dt = self.detector
+            got = _native.decode_tile_bytes(
+                body, dt.tile_size,
+                resize_to=dt.model_size if dt.host_resize else 0,
+                scale_denom=self._scale_denom)
+            if got is not None:
+                tile, (h, w) = got
+                with self._native_lock:
+                    self._n_native += 1
+        if tile is None:
+            from PIL import Image
 
-        img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
-        h, w = img.shape[:2]
-        tile = self._to_tile_frame(img)
+            img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+            h, w = img.shape[:2]
+            tile = self._to_tile_frame(img)
         det = self.executor.submit(tile)
         if det is not None and (h, w) != (self.detector.tile_size,) * 2:
             det = rescale_from_tile_frame(det, self.detector.tile_size, (h, w))
         if det is not None and merge:
             det = merge_detections(det)
-        if det is not None and len(det) and caa and self.caa_filter is not None:
+        if det is not None and len(det) and use_caa:
             # CAAFilter array form: crops come from the request's own image,
             # detections already in its pixel space (reference applies the
             # filter post-rescale, core.py:432-444)
@@ -294,6 +338,8 @@ class DetectionServer:
             "batched_ratio": round(ex.n_requests / max(ex.n_dispatches, 1), 3),
             "batch_size": ex.batch_size,
             "precision": self.detector.precision,
+            "native_decodes": self._n_native,
+            "decode_scale_denom": self._scale_denom,
         }
 
     def _make_handler(self):

@@ -30,6 +30,14 @@ def _png_bytes(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _jpeg_bytes(img: np.ndarray, quality: int = 90) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def _post(url: str, body: bytes):
     req = urllib.request.Request(url, data=body, method="POST",
                                  headers={"Content-Type": "image/png"})
@@ -145,6 +153,87 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(f"http://127.0.0.1:{server.port}/v1/detect", b"")
     assert ei.value.code == 400
+
+
+def test_decode_tile_bytes_unit(rng):
+    """Native in-memory decode: bit-identical to PIL on exact tiles (full
+    decode AND the nearest-gather resize), header-only rejection of other
+    geometries, DCT-scaled opt-in differs (the documented non-parity)."""
+    from PIL import Image
+
+    from amyloid_yolo_tpu.io import native
+    from amyloid_yolo_tpu.ops.preprocess import nearest_indices
+
+    if not native.available():
+        pytest.skip("native tile reader not built")
+    tile = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+    body = _jpeg_bytes(tile)
+    pil = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+
+    arr, (h, w) = native.decode_tile_bytes(body, 256)
+    assert (h, w) == (256, 256)
+    np.testing.assert_array_equal(arr, pil)
+
+    arr, _ = native.decode_tile_bytes(body, 256, resize_to=64)
+    idx = nearest_indices(64, 256)
+    np.testing.assert_array_equal(arr, np.ascontiguousarray(pil[idx][:, idx]))
+
+    got = native.decode_tile_bytes(body, 256, resize_to=64, scale_denom=4)
+    assert got is not None and got[0].shape == (64, 64, 3)
+    assert not np.array_equal(got[0], np.ascontiguousarray(pil[idx][:, idx]))
+
+    assert native.decode_tile_bytes(
+        _jpeg_bytes(tile[:100, :80]), 256) is None  # wrong geometry
+    assert native.decode_tile_bytes(b"not a jpeg", 256) is None
+
+
+def test_native_decode_parity_served(server, rng):
+    """An exact-tile JPEG rides the native fast path (counter moves) and
+    returns exactly the PIL-path result for the same bytes."""
+    from PIL import Image
+
+    from amyloid_yolo_tpu.io import native
+    from amyloid_yolo_tpu.ops.merge import merge_detections
+
+    if not native.available():
+        pytest.skip("native tile reader not built")
+    tile = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+    body = _jpeg_bytes(tile)
+    before = server._n_native
+    code, out = _post(f"http://127.0.0.1:{server.port}/v1/detect", body)
+    assert code == 200 and out["image_hw"] == [256, 256]
+    assert server._n_native == before + 1
+
+    img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+    expected = server.detector.detect_batch_ragged(np.stack([img] * 4))[0]
+    if expected is not None:
+        expected = merge_detections(expected)
+    got = np.array([[r["x1"], r["y1"], r["x2"], r["y2"], r["conf"],
+                     r["cls_conf"], r["cls"]] for r in out["detections"]],
+                   np.float32).reshape(-1, 7)
+    exp = (np.zeros((0, 7), np.float32) if expected is None
+           else np.asarray(expected, np.float32))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+
+    # /stats surfaces the counter
+    _, stats = _get(f"http://127.0.0.1:{server.port}/stats")
+    assert stats["native_decodes"] == server._n_native
+
+
+def test_native_decode_fallback_geometry(server, rng):
+    """Non-tile-sized JPEGs are rejected at the header and take the PIL
+    pad_to_square path (identical user-visible semantics)."""
+    from amyloid_yolo_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native tile reader not built")
+    img = rng.randint(0, 255, (100, 80, 3)).astype(np.uint8)
+    before = server._n_native
+    code, out = _post(
+        f"http://127.0.0.1:{server.port}/v1/detect", _jpeg_bytes(img))
+    assert code == 200
+    assert out["image_hw"] == [100, 80]
+    assert server._n_native == before  # fell back, counter unmoved
 
 
 def test_executor_survives_device_error(rng):

@@ -107,6 +107,10 @@ def main() -> int:
                          "(keeps the tunnel at 416^2; BENCH.md)")
     ap.add_argument("--img", type=str, default=None,
                     help="POST this image file instead of the synthetic tile")
+    ap.add_argument("--native_decode", type=str, default="True",
+                    help="C++ in-memory decode for exact-tile JPEGs")
+    ap.add_argument("--fast_decode", type=str, default="False",
+                    help="DCT-scaled native decode (non-parity pixels)")
     args = ap.parse_args()
 
     from amyloid_yolo_tpu.detectors import Detector
@@ -127,7 +131,9 @@ def main() -> int:
         host_resize=_truthy(args.host_resize), **kw)
     server = DetectionServer(det, host="127.0.0.1", port=0,
                              batch_size=args.batch_size,
-                             max_wait_ms=args.max_wait_ms)
+                             max_wait_ms=args.max_wait_ms,
+                             native_decode=_truthy(args.native_decode),
+                             fast_decode=_truthy(args.fast_decode))
     server.start()
     if args.img:
         body = open(args.img, "rb").read()
@@ -172,6 +178,7 @@ def main() -> int:
         "p99_ms": round(float(np.percentile(lat, 99)), 1),
         "batched_ratio": stats["batched_ratio"],
         "dispatches": stats["dispatches"],
+        "native_decodes": stats["native_decodes"],
         "concurrency": args.concurrency,
         "img_side": args.img_side,
         "precision": det.precision,
