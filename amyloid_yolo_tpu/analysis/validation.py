@@ -142,6 +142,17 @@ def calculate_plaque_counts_per_wsi(
                     wsi_counts[wsi][name] += 1
                     tile_counts[wsi][path][name] += 1
 
+    if getattr(detector, "overflow_images", 0):
+        import warnings
+
+        warnings.warn(
+            f"WSI sweep: {detector.overflow_images}/{detector.images_seen} "
+            f"tiles exceeded the NMS candidate pool "
+            f"(nms_pool={detector.nms_pool}, max seen "
+            f"{detector.max_candidates_seen}) — detections were truncated "
+            f"on those tiles; rebuild the Detector with a larger nms_pool/"
+            f"capacity for uncapped-reference parity.", UserWarning,
+            stacklevel=2)
     with open(os.path.join(pickles_dir, prefix + "WSI_plaque_counts_dictionary.pkl"), "wb") as fh:
         pickle.dump(wsi_counts, fh)
     with open(os.path.join(pickles_dir, prefix + "1536_plaque_counts_dictionary.pkl"), "wb") as fh:

@@ -49,6 +49,16 @@ def _fast_path_kwargs(args) -> dict:
     return kw
 
 
+def _capacity_kwargs(args) -> dict:
+    """``--nms_pool N``: raise BOTH the pre-NMS candidate pool and the
+    returned-detection capacity to N (the reference loop is uncapped; the
+    overflow counters report when the default 64 actually truncated)."""
+    pool = getattr(args, "nms_pool", None)
+    if pool:
+        return {"capacity": int(pool), "nms_pool": int(pool)}
+    return {}
+
+
 def cmd_train(args) -> int:
     from ..training import Trainer, TrainConfig
 
@@ -102,7 +112,8 @@ def cmd_test(args) -> int:
     params = W.load_pretrained(spec, args.weights_path)
     out = evaluate(spec, params, data["valid"], iou_thres=args.iou_thres,
                    conf_thres=args.conf_thres, nms_thres=args.nms_thres,
-                   img_size=args.img_size, batch_size=args.batch_size)
+                   img_size=args.img_size, batch_size=args.batch_size,
+                   nms_capacity=args.nms_capacity)
     if out is None:
         print("no detections")
         return 1
@@ -129,7 +140,8 @@ def cmd_detect(args) -> int:
     classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
         else ["CAA", "Cored"]
     det = Detector(spec, params, conf_thres=args.conf_thres, nms_thres=args.nms_thres,
-                   model_size=args.img_size, **_fast_path_kwargs(args))
+                   model_size=args.img_size, **_fast_path_kwargs(args),
+                   **_capacity_kwargs(args))
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -147,6 +159,11 @@ def cmd_detect(args) -> int:
         caa_filter=(caa_filter.filter_path if caa_filter else None),
         fast_decode=_truthy(args.fast_decode),
     )
+    if det.overflow_images:
+        print(f"WARNING: {det.overflow_images}/{det.images_seen} images "
+              f"exceeded the NMS candidate pool (nms_pool={det.nms_pool}, "
+              f"max seen {det.max_candidates_seen}); detections were "
+              f"truncated on them — raise --nms_pool.", flush=True)
     from PIL import Image
 
     for path, dets in results.items():
@@ -180,7 +197,7 @@ def cmd_serve(args) -> int:
     det = Detector(spec, params, conf_thres=args.conf_thres,
                    nms_thres=args.nms_thres, model_size=args.img_size,
                    host_resize=_truthy(args.host_resize),
-                   **_fast_path_kwargs(args))
+                   **_fast_path_kwargs(args), **_capacity_kwargs(args))
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -205,8 +222,11 @@ def cmd_serve(args) -> int:
                                  tile_size=det.tile_size)
             _, calib, _ = next(iter(folder.iter_batches(
                 min(len(folder), server.executor.batch_size))))
-        server.warmup(calib)
-        print("pipeline compiled; ready", flush=True)
+        if server.warmup(calib):
+            print("pipeline compiled; ready", flush=True)
+        else:
+            print("warmup skipped (uncalibrated int8 — pass "
+                  "--calibration_folder); first request compiles", flush=True)
     try:
         while True:
             time.sleep(3600)
@@ -235,7 +255,7 @@ def cmd_sweep(args) -> int:
         mesh = make_mesh(args.data_parallel)
     det = Detector(spec, params, conf_thres=args.conf_thres,
                    nms_thres=args.nms_thres, mesh=mesh,
-                   **_fast_path_kwargs(args))
+                   **_fast_path_kwargs(args), **_capacity_kwargs(args))
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -382,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--conf_thres", type=float, default=0.5)
     e.add_argument("--nms_thres", type=float, default=0.5)
     e.add_argument("--img_size", type=int, default=416)
+    e.add_argument("--nms_capacity", type=int, default=128,
+                   help="device NMS candidate pool; evaluate warns when any "
+                        "image overflows it (truncation depresses mAP)")
     e.set_defaults(fn=cmd_test)
 
     d = sub.add_parser("detect")
@@ -410,6 +433,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
+    d.add_argument("--nms_pool", type=int, default=None,
+                   help="raise the NMS candidate pool + detection capacity "
+                        "(default 64); overflow warnings tell you when to")
     d.set_defaults(fn=cmd_detect)
 
     sv = sub.add_parser("serve")
@@ -431,8 +457,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compile the pipeline before reporting ready")
     sv.add_argument("--calibration_folder", type=str, default=None,
                     help="representative tiles for int8 scale calibration "
-                         "(int8 precisions; otherwise the first traffic "
-                         "calibrates, with a degenerate-scale warning)")
+                         "(int8 precisions; without it warmup is skipped — "
+                         "never noise-calibrated — and the first real "
+                         "request compiles + calibrates)")
     sv.add_argument("--filter_CAA_detections_by_model", type=str, default="False")
     sv.add_argument("--caa_model_pickle", type=str,
                     default="pickles/model_all_fold_3_thresholding_2_l2.pkl")
@@ -450,6 +477,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="DCT-scaled native decode when --host_resize True "
                          "(non-parity pixels, same opt-in as ImageFolder "
                          "fast_decode)")
+    sv.add_argument("--nms_pool", type=int, default=None,
+                   help="raise the NMS candidate pool + detection capacity "
+                        "(default 64); overflow warnings tell you when to")
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("sweep")
@@ -481,6 +511,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
+    s.add_argument("--nms_pool", type=int, default=None,
+                   help="raise the NMS candidate pool + detection capacity "
+                        "(default 64); overflow warnings tell you when to")
     s.set_defaults(fn=cmd_sweep)
 
     c = sub.add_parser("crop")

@@ -217,6 +217,14 @@ class Detector:
             if self._s2d_params is not None:
                 self._s2d_params = jax.device_put(self._s2d_params,
                                                   replicated(mesh))
+        # NMS pool/capacity saturation observability: per-image conf-passing
+        # candidate counts come back from every compiled call (~free); the
+        # counters make the fixed-capacity trade auditable instead of a
+        # silent mAP depressor (the reference loop is uncapped).
+        self._last_ncand = None
+        self.overflow_images = 0
+        self.images_seen = 0
+        self.max_candidates_seen = 0
         # int8_early defers compilation until activation scales exist
         # (calibrate() explicitly, or lazily on the first batch)
         self._fn = self._build() if self.precision == "bf16" else None
@@ -268,17 +276,18 @@ class Detector:
             else:
                 maps, _ = darknet.apply(params, spec, x, compute_dtype=dtype)
             if lazy_decode:
-                det, scores = heads.decode_topk(
+                det, scores, n_cand = heads.decode_topk(
                     maps, spec, model_size, conf, pool or cap,
-                    approx_topk=approx_topk)
+                    approx_topk=approx_topk, return_count=True)
                 dets, valid = nms_ops.non_max_suppression_pooled(
                     det, scores, nmst, cap)
             else:
                 pred = heads.decode_all(maps, spec, model_size)
-                dets, valid = nms_ops.non_max_suppression(
-                    pred, conf, nmst, cap, pool=pool, approx_topk=approx_topk)
+                dets, valid, n_cand = nms_ops.non_max_suppression(
+                    pred, conf, nmst, cap, pool=pool, approx_topk=approx_topk,
+                    return_count=True)
             dets = rescale_boxes_jnp(dets, model_size, tile_size, tile_size)
-            return dets, valid
+            return dets, valid, n_cand
 
         return run
 
@@ -344,7 +353,14 @@ class Detector:
         return self._act_scales
 
     def __call__(self, tiles_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K))."""
+        """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K)).
+
+        The per-image conf-passing candidate count (the pool-overflow
+        observable) rides along as ``self._last_ncand`` — an unfetched
+        device array, so stashing it costs no sync; call
+        :meth:`account_overflow` (ragged/folder paths do) to fold it into
+        the :attr:`overflow_images`/:attr:`images_seen` counters.
+        """
         if self._fn is None:
             if self._act_scales is None:  # int8: calibrate on the first batch
                 self.calibrate(tiles_u8)
@@ -354,13 +370,37 @@ class Detector:
             tiles = jax.device_put(jnp.asarray(tiles_u8), self._batch_sharding)
         else:
             tiles = jnp.asarray(tiles_u8)
-        return self._fn(self.params, tiles)
+        dets, valid, n_cand = self._fn(self.params, tiles)
+        self._last_ncand = n_cand
+        return dets, valid
+
+    def account_overflow(self, n_valid: Optional[int] = None,
+                         n_cand=None) -> int:
+        """Fold the latest batch's candidate counts into the overflow
+        counters; returns how many of its (first ``n_valid``) images had
+        MORE conf-passing candidates than ``nms_pool`` — i.e. images where
+        the fixed-capacity trade actually dropped candidates that the
+        reference's uncapped loop (``utils/utils.py:235-273``) would have
+        kept in the suppression/merge.  Raise ``nms_pool``/``capacity``
+        until this stays 0 for exact parity on dense data.
+        """
+        nc = np.asarray(self._last_ncand if n_cand is None else n_cand)
+        if n_valid is not None:
+            nc = nc[:n_valid]
+        over = int((nc > self.nms_pool).sum())
+        self.overflow_images += over
+        self.images_seen += int(nc.size)
+        self.max_candidates_seen = max(self.max_candidates_seen,
+                                       int(nc.max()) if nc.size else 0)
+        return over
 
     # -- host-facing conveniences -------------------------------------------
 
     def detect_batch_ragged(self, tiles_u8: np.ndarray) -> List[Optional[np.ndarray]]:
         dets, valid = self(tiles_u8)
-        return nms_ops.dense_to_ragged(dets, valid)
+        out = nms_ops.dense_to_ragged(dets, valid)  # sync point
+        self.account_overflow()
+        return out
 
     def detect_folder(
         self,
@@ -402,8 +442,9 @@ class Detector:
         tile_size = self.tile_size
 
         def drain_one():
-            paths, n_valid, (dets, valid) = inflight.popleft()
+            paths, n_valid, (dets, valid), n_cand = inflight.popleft()
             ragged = nms_ops.dense_to_ragged(dets, valid)  # sync point
+            self.account_overflow(n_valid, n_cand)
             for path, det in list(zip(paths, ragged))[:n_valid]:
                 if det is not None:
                     # non-standard tiles (WSI borders): back to the image's
@@ -422,7 +463,7 @@ class Detector:
 
         batch_size = resolve_batch_size(batch_size, len(folder_ds))
         for paths, batch, n_valid in folder_ds.iter_batches(batch_size):
-            inflight.append((paths, n_valid, self(batch)))
+            inflight.append((paths, n_valid, self(batch), self._last_ncand))
             if len(inflight) > pipeline_depth:
                 drain_one()
         while inflight:

@@ -33,7 +33,8 @@ def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
         x = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
         maps, _ = darknet.apply(params, spec, x, compute_dtype=compute_dtype)
         pred = heads.decode_all(maps, spec, img_size)
-        return nms_ops.non_max_suppression(pred, conf_thres, nms_thres, capacity)
+        return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
+                                           capacity, return_count=True)
 
     return fwd
 
@@ -48,13 +49,24 @@ def evaluate(
     img_size: int = 416,
     batch_size: int = 8,
     compute_dtype=jnp.float32,
+    nms_capacity: int = 128,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-    """Returns (precision, recall, AP, f1, ap_class) or None (no detections)."""
+    """Returns (precision, recall, AP, f1, ap_class) or None (no detections).
+
+    If any image has more conf-passing candidates than ``nms_capacity`` —
+    the fixed device-NMS pool, vs the reference's uncapped host loop — a
+    ``UserWarning`` reports the image count: truncation depresses mAP
+    silently otherwise.  Raise ``nms_capacity`` until the warning stops for
+    exact parity on dense validation sets.
+    """
     dataset = ListDataset(path, img_size=img_size, multiscale=False, augment=False)
-    fwd = make_eval_fn(spec, conf_thres, nms_thres, compute_dtype=compute_dtype)
+    fwd = make_eval_fn(spec, conf_thres, nms_thres, capacity=nms_capacity,
+                       compute_dtype=compute_dtype)
 
     labels: list = []
     sample_metrics: list = []
+    overflow_images = 0
+    n_images = 0
     for batch in dataset.iter_epoch(batch_size, shuffle=False):
         imgs = batch["images"]
         targets = batch["targets"][batch["target_mask"]]
@@ -65,9 +77,21 @@ def evaluate(
         if imgs.shape[0] < batch_size:  # pad tail batch for shape stability
             pad = batch_size - imgs.shape[0]
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-        dets, valid = fwd(params, jnp.asarray(imgs), img_size)
+        dets, valid, n_cand = fwd(params, jnp.asarray(imgs), img_size)
         ragged = nms_ops.dense_to_ragged(dets, valid)[: len(batch["paths"])]
+        n_real = len(batch["paths"])
+        overflow_images += int((np.asarray(n_cand)[:n_real] > nms_capacity).sum())
+        n_images += n_real
         sample_metrics += get_batch_statistics(ragged, t, iou_thres)
+    if overflow_images:
+        import warnings
+
+        warnings.warn(
+            f"evaluate: {overflow_images}/{n_images} images had more than "
+            f"nms_capacity={nms_capacity} conf-passing candidates — the "
+            f"device NMS pool truncated them and mAP is depressed vs the "
+            f"reference's uncapped NMS.  Re-run with a larger nms_capacity.",
+            UserWarning, stacklevel=2)
     if len(sample_metrics) == 0:
         return None
     tp, scores, pred_labels = [np.concatenate(x, 0) for x in zip(*sample_metrics)]

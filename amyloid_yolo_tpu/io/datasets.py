@@ -281,6 +281,7 @@ class ListDataset:
         seed: int = 0,
         cache_images: bool = False,
         host_resize: bool = False,
+        native_side: Optional[int] = None,
     ):
         with open(list_path, "r") as fh:
             self.img_files = [ln.rstrip() for ln in fh.readlines() if ln.strip()]
@@ -295,7 +296,29 @@ class ListDataset:
         self.max_size = img_size + 3 * 32
         self.augment = augment
         self.batch_count = 0
-        self._rng = random.Random(seed)
+        # All randomness is DERIVED, never streamed from one stateful RNG:
+        # the epoch shuffle seeds on (seed, epoch) and the multiscale size
+        # is a pure function of the global batch index (size_for_count).
+        # A shared stateful RNG would couple them through the prefetch
+        # producer's read-ahead depth — a consumer that abandons an epoch
+        # early (Trainer max_batches_per_epoch) would leave the RNG at a
+        # timing-dependent state, silently desynchronizing the multi-host
+        # "host-identical global shuffle" contract (iter_epoch) and breaking
+        # seeded reproducibility single-host.
+        self.seed = seed
+        self._base_img_size = img_size
+        self._epoch = 0
+        self._planned_batches = 0
+        # native_side: the dataset's uniform decoded+padded tile side, used
+        # as the host-invariant fallback shape when an entire local batch
+        # fails to read under collate(fixed_size=True).  Without it a fully
+        # failed host would fall back to img_size, which (host_resize=False,
+        # native tiles != img_size) mismatches the other hosts' batch shape
+        # and aborts the collective.  Set it for distributed datasets whose
+        # tiles are not img_size-sized; single-host and host_resize runs
+        # never need it.
+        self.native_side = native_side
+        self._seen_side: Optional[int] = None
         # cache_images: keep each decoded, padded-square uint8 image (and
         # its normalized labels) in RAM after the first epoch — JPEG decode
         # is the host pipeline's dominant cost and the reference re-decodes
@@ -354,21 +377,31 @@ class ListDataset:
         boxes[:, 3] = boxes[:, 3] / side
         boxes[:, 4] = boxes[:, 4] / side
         item = (img_path, img, boxes)
+        self._seen_side = img.shape[0]
         if self.cache_images:
             self._cache[index] = item
         return item
 
+    def size_for_count(self, count: int) -> int:
+        """Multiscale size for global batch ``count`` (1-based, cumulative
+        across epochs) — a PURE function, so the schedule is identical on
+        every host and immune to producer read-ahead depth.  Semantics match
+        the reference stream (``utils/datasets.py:132-133``): a new size is
+        drawn every 10th batch and held for the next 10."""
+        if not self.multiscale or count < 10:
+            return self._base_img_size
+        rng = random.Random(self.seed * 1_000_003 + 7919 * (count // 10))
+        return rng.choice(range(self.min_size, self.max_size + 1, 32))
+
     def next_size(self) -> int:
         """Multiscale schedule: new size every 10th batch (``:132-133``)."""
         self.batch_count += 1
-        if self.multiscale and self.batch_count % 10 == 0:
-            self.img_size = self._rng.choice(
-                range(self.min_size, self.max_size + 1, 32)
-            )
+        self.img_size = self.size_for_count(self.batch_count)
         return self.img_size
 
     def collate(self, samples: Sequence, row_offset: int = 0,
-                fixed_size: bool = False) -> Optional[dict]:
+                fixed_size: bool = False,
+                batch_count: Optional[int] = None) -> Optional[dict]:
         """Stack valid samples; pad labels to a fixed (B*max_objects) block.
 
         Targets are rows (batch_idx, cls, cx, cy, w, h) + validity mask —
@@ -381,10 +414,14 @@ class ListDataset:
         instead of dropping them — collective programs need every host to
         produce identically-shaped batches in lockstep, so a local decode
         failure must not change this host's batch shape.
+        ``batch_count``: the global 1-based batch index (``iter_epoch``
+        passes it) — the multiscale size becomes ``size_for_count`` of it,
+        so the schedule is position-determined.  ``None`` (direct calls)
+        falls back to the stateful ``next_size()`` stream.
         """
         if fixed_size:
             side = next((s[1].shape[0] for s in samples if s is not None),
-                        self.img_size)
+                        self.native_side or self._seen_side or self.img_size)
             samples = [
                 s if s is not None else
                 ("<failed>", np.zeros((side, side, 3), np.uint8),
@@ -395,7 +432,11 @@ class ListDataset:
             samples = [s for s in samples if s is not None]
         if not samples:
             return None
-        img_size = self.next_size()
+        if batch_count is not None:
+            self.batch_count = batch_count
+            self.img_size = img_size = self.size_for_count(batch_count)
+        else:
+            img_size = self.next_size()
         paths, imgs, boxes_list = zip(*samples)
         batch = np.stack(imgs)
         if self.host_resize and batch.shape[1] != img_size:
@@ -436,9 +477,14 @@ class ListDataset:
         because ``next_size`` advances once per global batch on each host
         with the same seed.
         """
+        # Per-epoch derived seed: hosts calling iter_epoch the same number
+        # of times (the lockstep contract) get identical orders regardless
+        # of how deep any previous epoch's producer read ahead.
+        self._epoch += 1
         order = list(range(len(self)))
         if shuffle:
-            self._rng.shuffle(order)
+            random.Random(self.seed * 2_654_435_761
+                          + 1_442_695_041 * self._epoch).shuffle(order)
         pid, nproc = shard if shard is not None else (0, 1)
         if shard is not None:
             if batch_size % nproc:
@@ -447,21 +493,30 @@ class ListDataset:
             order = order[: len(order) - (len(order) % batch_size)]
         local_b = batch_size // nproc
 
+        # Multiscale counts are assigned by PLANNED position (a batch whose
+        # every sample fails still consumes its count), and the epoch's full
+        # count is reserved up front — so abandoning the iterator early
+        # cannot shift any later epoch's schedule.
+        count_base = self._planned_batches
+        self._planned_batches += (len(order) + batch_size - 1) // batch_size
+
         stop = threading.Event()
 
         def produce(q: "queue.Queue"):
             try:
-                for start in range(0, len(order), batch_size):
+                for j, start in enumerate(range(0, len(order), batch_size)):
                     if stop.is_set():
                         break
                     idxs = order[start:start + batch_size]
                     if shard is None:
-                        batch = self.collate([self[i] for i in idxs])
+                        batch = self.collate([self[i] for i in idxs],
+                                             batch_count=count_base + j + 1)
                     else:
                         mine = idxs[pid * local_b:(pid + 1) * local_b]
                         batch = self.collate([self[i] for i in mine],
                                              row_offset=pid * local_b,
-                                             fixed_size=True)
+                                             fixed_size=True,
+                                             batch_count=count_base + j + 1)
                     if batch is not None:
                         q.put(batch)
             except BaseException as e:  # surface decode bugs, don't drop them

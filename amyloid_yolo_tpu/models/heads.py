@@ -88,7 +88,8 @@ def decode_topk(
     conf_thres: float,
     pool: int,
     approx_topk: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_count: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused score → top-k → sparse decode: the lazy form of
     :func:`decode_all` + NMS candidate selection.
 
@@ -116,7 +117,10 @@ def decode_topk(
       ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)`` in descending score
       order, padding rows marked by ``top_scores == -inf`` — the input
       contract of
-      :func:`amyloid_yolo_tpu.ops.nms.non_max_suppression_pooled`.
+      :func:`amyloid_yolo_tpu.ops.nms.non_max_suppression_pooled`; plus
+      ``n_candidates`` (B,) int32 (conf-passing rows per image, the pool-
+      overflow observable — see ``ops.nms.non_max_suppression``) when
+      ``return_count``.
     """
     yolo_specs = [l for l in spec.layers if isinstance(l, YoloSpec)]
     assert len(yolo_specs) == len(head_maps)
@@ -185,6 +189,9 @@ def decode_topk(
         det_h = jnp.concatenate([boxes, conf, cls_conf, cls_pred], axis=-1)
         det = jnp.where(in_head[..., None], det_h, det)
         off += n_h
+    if return_count:
+        n_candidates = jnp.sum(score > -jnp.inf, axis=1).astype(jnp.int32)
+        return det, top_scores, n_candidates
     return det, top_scores
 
 

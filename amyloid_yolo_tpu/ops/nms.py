@@ -39,7 +39,7 @@ from .boxes import bbox_iou, bbox_iou_np, xywh2xyxy, xywh2xyxy_np
 
 @functools.partial(jax.jit, static_argnames=("conf_thres", "nms_thres",
                                               "capacity", "pool",
-                                              "approx_topk"))
+                                              "approx_topk", "return_count"))
 def non_max_suppression(
     prediction: jnp.ndarray,
     conf_thres: float = 0.5,
@@ -47,7 +47,8 @@ def non_max_suppression(
     capacity: int = 256,
     pool: Optional[int] = None,
     approx_topk: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_count: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Batched merging NMS.
 
     Args:
@@ -60,6 +61,12 @@ def non_max_suppression(
         merge.  A ``pool`` larger than ``capacity`` keeps those boxes in the
         game while the returned shape stays (B, capacity, 7) — keepers past
         ``capacity`` are truncated (score order, lowest first to go).
+      return_count: also return ``n_candidates`` (B,) int32 — how many rows
+        passed ``conf_thres`` per image, computed inside the compiled
+        program for ~free.  ``n_candidates > pool`` means the fixed-capacity
+        trade actually dropped candidates on this image (the reference loop
+        is uncapped) — callers surface it instead of silently depressing
+        mAP (``evaluate``/``Detector`` overflow accounting).
       approx_topk: use TPU ``lax.approx_max_k`` (single-pass PartialReduce)
         instead of exact ``lax.top_k`` (multi-pass sort) to select the
         candidate pool — measured ~0.4 ms/batch-16 saving.  Know what you
@@ -77,12 +84,18 @@ def non_max_suppression(
     Returns:
       ``(dets, valid)`` with ``dets`` (B, capacity, 7) rows
       ``(x1, y1, x2, y2, conf, cls_conf, cls_pred)`` and ``valid``
-      (B, capacity) bool — rows are keepers in score order.
+      (B, capacity) bool — rows are keepers in score order; plus
+      ``n_candidates`` (B,) int32 when ``return_count``.
     """
-    return jax.vmap(
+    dets, valid = jax.vmap(
         lambda p: _nms_single(p, conf_thres, nms_thres, capacity,
                               pool or capacity, approx_topk)
     )(prediction)
+    if return_count:
+        n_candidates = jnp.sum(prediction[:, :, 4] >= conf_thres,
+                               axis=1).astype(jnp.int32)
+        return dets, valid, n_candidates
+    return dets, valid
 
 
 def _nms_single(pred, conf_thres, nms_thres, capacity, pool,

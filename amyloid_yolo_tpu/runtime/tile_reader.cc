@@ -61,6 +61,10 @@ int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
 
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Declared BEFORE setjmp (libjpeg's recommended structure): a longjmp
+  // from inside the scanline loop must not skip this vector's destructor —
+  // each corrupt body would otherwise leak ~width*3 heap bytes.
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -77,12 +81,11 @@ int decode_jpeg_into(const char* path, uint8_t* out, int out_h, int out_w,
   jpeg_start_decompress(&cinfo);
 
   const int w = static_cast<int>(cinfo.output_width);
-  const int h = static_cast<int>(cinfo.output_height);
   // report PRE-scale dimensions: callers key border-tile handling and
   // coordinate spaces off the original image geometry
   if (src_h) *src_h = static_cast<int>(cinfo.image_height);
   if (src_w) *src_w = static_cast<int>(cinfo.image_width);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  row.resize(static_cast<size_t>(w) * 3);
   std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
   const int copy_w = w < out_w ? w : out_w;
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -112,6 +115,9 @@ int decode_jpeg_mem_into(const uint8_t* buf, unsigned long len, uint8_t* out,
                          int require_h = 0, int require_w = 0) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Before setjmp: this decoder is network-facing (POST /v1/detect), and a
+  // longjmp over the vector's scope would leak heap per corrupt request.
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -134,7 +140,7 @@ int decode_jpeg_mem_into(const uint8_t* buf, unsigned long len, uint8_t* out,
   jpeg_start_decompress(&cinfo);
 
   const int w = static_cast<int>(cinfo.output_width);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  row.resize(static_cast<size_t>(w) * 3);
   std::memset(out, 0, static_cast<size_t>(out_h) * out_w * 3);
   const int copy_w = w < out_w ? w : out_w;
   while (cinfo.output_scanline < cinfo.output_height) {

@@ -242,23 +242,41 @@ class DetectionServer:
         if self._thread is not None:
             self._thread.join(timeout=30)
 
-    def warmup(self, calibration_tiles: Optional[np.ndarray] = None):
+    def warmup(self, calibration_tiles: Optional[np.ndarray] = None) -> bool:
         """Compile the pipeline before accepting traffic (optional; the
-        first real request triggers it otherwise).
+        first real request triggers it otherwise).  Returns True if the
+        pipeline actually compiled.
 
         For int8 precisions pass ``calibration_tiles`` (a representative
         uint8 batch) — scales calibrated on them, not on the warmup
-        traffic.  Without it the warmup tile is NOISE, never zeros: a
-        blank tile would lazily calibrate degenerate scales
-        (``Detector.calibrate`` docstring) and poison every real request.
+        traffic.  Without them warmup is REFUSED for uncalibrated int8:
+        the warmup tile would have to be synthetic (noise), and scales
+        calibrated on noise silently degrade every real request — noise
+        excites every layer, so not even the degenerate-scale check fires.
+        In that case compilation + calibration defer to the first real
+        request (which is representative by definition) and a warning
+        recommends ``--calibration_folder``.
         """
+        det = self.detector
         if calibration_tiles is not None:
-            self.detector.calibrate(np.asarray(calibration_tiles))
-        side = (self.detector.model_size if self.detector.host_resize
-                else self.detector.tile_size)
+            det.calibrate(np.asarray(calibration_tiles))
+        elif det.precision.startswith("int8") and det._act_scales is None:
+            import warnings
+
+            warnings.warn(
+                "warmup skipped: int8 precision with no calibration tiles. "
+                "Warming up would calibrate activation scales on synthetic "
+                "noise and silently degrade every request; deferring "
+                "compile+calibration to the first real request instead. "
+                "Pass calibration_tiles / --calibration_folder for a "
+                "pre-compiled, representatively-calibrated server.",
+                UserWarning, stacklevel=2)
+            return False
+        side = (det.model_size if det.host_resize else det.tile_size)
         tile = np.random.RandomState(0).randint(
             0, 255, (side, side, 3)).astype(np.uint8)
         self.executor.submit(tile, timeout=1200.0)
+        return True
 
     # -- request plumbing -----------------------------------------------------
 
@@ -340,6 +358,9 @@ class DetectionServer:
             "precision": self.detector.precision,
             "native_decodes": self._n_native,
             "decode_scale_denom": self._scale_denom,
+            # images whose conf-passing candidates exceeded the fixed NMS
+            # pool (detections truncated vs the uncapped reference loop)
+            "nms_pool_overflows": self.detector.overflow_images,
         }
 
     def _make_handler(self):

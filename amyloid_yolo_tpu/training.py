@@ -95,11 +95,24 @@ class Trainer:
             try:
                 dist_mod.initialize(cfg.coordinator_address,
                                     cfg.num_processes, cfg.process_id)
-            except RuntimeError:
-                pass  # already initialized by the launcher / test harness
+            except RuntimeError as e:
+                # Only an already-running runtime is benign (launcher / test
+                # harness initialized first).  A genuine failure (bad
+                # coordinator address, unreachable peer) must NOT silently
+                # fall back to single-host training while the other hosts
+                # hang on the coordinator.
+                msg = str(e).lower()
+                if ("already initialized" not in msg
+                        and "only be called once" not in msg):
+                    raise
             self._dist = dist_mod
             self.pid = jax.process_index()
             self.nproc = jax.process_count()
+            if cfg.num_processes is not None and self.nproc != cfg.num_processes:
+                raise RuntimeError(
+                    f"distributed runtime has {self.nproc} processes but "
+                    f"num_processes={cfg.num_processes} was requested — "
+                    f"refusing to train on a partial pod")
         else:
             self._dist = None
             self.pid, self.nproc = 0, 1

@@ -237,3 +237,42 @@ def test_abandoned_epoch_iterator_joins_producer(data_dir):
     leaked = [t for t in threading.enumerate()
               if t not in before and t.is_alive()]
     assert not leaked, leaked
+
+
+def test_abandoned_epoch_rng_determinism(data_dir):
+    """r3 advisor (medium): the epoch shuffle and multiscale schedule must
+    be pure functions of (seed, epoch / batch index) — NOT a shared stateful
+    RNG whose state depends on how deep the prefetch producer read ahead
+    before a consumer abandoned the epoch (max_batches_per_epoch).  Two
+    datasets, one consuming epoch 1 fully and one abandoning it after one
+    batch, must produce bit-identical epoch 2 (order AND sizes)."""
+    kw = dict(img_size=416, multiscale=True, seed=7)
+    a = ListDataset(str(data_dir / "train.txt"), **kw)
+    b = ListDataset(str(data_dir / "train.txt"), **kw)
+    list(a.iter_epoch(1))                 # full epoch (5 batches)
+    it = b.iter_epoch(1)                  # abandoned after 1 batch
+    assert next(it) is not None
+    it.close()
+    ep2_a = [(x["paths"], x["img_size"]) for x in a.iter_epoch(1)]
+    ep2_b = [(x["paths"], x["img_size"]) for x in b.iter_epoch(1)]
+    assert ep2_a == ep2_b
+    # epoch 2 spans global batches 6..10 -> the multiscale draw at count 10
+    # fires and is position-determined
+    assert [s for _, s in ep2_a] == [a.size_for_count(c) for c in range(6, 11)]
+
+
+def test_collate_fixed_size_fallback_side(data_dir):
+    """r3 advisor (low): when EVERY sample in a host's local slice fails,
+    the zero-image fallback side must come from a host-invariant source
+    (native_side) — not img_size — so cross-host batch shapes stay equal."""
+    ds = ListDataset(str(data_dir / "train_with_bad.txt"), img_size=416,
+                     multiscale=False, native_side=256)
+    bad = [None, None]
+    batch = ds.collate(bad, fixed_size=True)
+    assert batch["images"].shape == (2, 256, 256, 3)
+    # without native_side, a previously-seen side is the next-best hint
+    ds2 = ListDataset(str(data_dir / "train.txt"), img_size=416,
+                      multiscale=False)
+    _ = ds2[0]
+    batch2 = ds2.collate([None], fixed_size=True)
+    assert batch2["images"].shape == (1, 256, 256, 3)

@@ -259,3 +259,33 @@ def test_executor_survives_device_error(rng):
         assert ex.n_errors == 1
     finally:
         ex.stop()
+
+
+def test_warmup_refuses_noise_calibration_for_int8():
+    """r3 advisor (medium): with int8 precision and no calibration tiles,
+    warmup() must NOT submit a synthetic-noise tile through the lazy
+    calibration path — noise-calibrated scales silently degrade every real
+    request and the degenerate-scale check cannot catch it (noise excites
+    every layer).  It must refuse (warn + return False), deferring
+    compile+calibration to the first real request."""
+    spec = mini_spec(num_classes=2, img_size=64)
+    from amyloid_yolo_tpu.models import darknet
+
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    det = Detector(spec, params, model_size=64, tile_size=256,
+                   capacity=16, precision="int8_full",
+                   compute_dtype=jnp.float32)
+    srv = DetectionServer(det, ["CAA", "Cored"], port=0, batch_size=2)
+    srv.start()
+    try:
+        with pytest.warns(UserWarning, match="calibration"):
+            assert srv.warmup() is False
+        assert det._act_scales is None          # nothing calibrated
+        assert det._fn is None                  # nothing compiled
+        # with calibration tiles the same call calibrates + compiles
+        calib = np.random.RandomState(1).randint(
+            0, 255, (2, 256, 256, 3)).astype(np.uint8)
+        assert srv.warmup(calib) is True
+        assert det._act_scales is not None and det._fn is not None
+    finally:
+        srv.stop()
