@@ -208,7 +208,10 @@ def cmd_serve(args) -> int:
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         merge_boxes=_truthy(args.merge_boxes), caa_filter=caa_filter,
         native_decode=_truthy(args.native_decode),
-        fast_decode=_truthy(args.fast_decode))
+        fast_decode=_truthy(args.fast_decode),
+        max_queue=args.max_queue,
+        max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+        request_timeout_s=args.request_timeout_s)
     server.start()
     print(f"serving on http://{args.host}:{server.port} "
           f"(batch {server.executor.batch_size}, precision {det.precision})",
@@ -477,6 +480,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="DCT-scaled native decode when --host_resize True "
                          "(non-parity pixels, same opt-in as ImageFolder "
                          "fast_decode)")
+    sv.add_argument("--max_queue", type=int, default=None,
+                    help="bounded executor queue depth (default 8x batch); "
+                         "bursts past it are shed with 503 + Retry-After")
+    sv.add_argument("--max_body_mb", type=float, default=32.0,
+                    help="reject request bodies larger than this (413, "
+                         "checked on the Content-Length header)")
+    sv.add_argument("--request_timeout_s", type=float, default=120.0,
+                    help="per-request queue+device timeout (503 on expiry)")
     sv.add_argument("--nms_pool", type=int, default=None,
                    help="raise the NMS candidate pool + detection capacity "
                         "(default 64); overflow warnings tell you when to")

@@ -105,11 +105,21 @@ def main():
     t_head = measure(det, dev_tiles, iters, 2)
     chip_tps = batch / t_head
 
-    # diagnostics
+    # Second metric of record: the box-for-box parity pipeline (bf16 dense
+    # semantics; lazy sparse decode is the default — bit-identical by
+    # construction and by gate, detectors.py).  JSON line printed BEFORE
+    # the headline so the headline stays the last line for the driver.
     det_bf16 = Detector()
     t_bf16 = measure(det_bf16, dev_tiles, iters, 1)
-    print(f"# bf16 parity pipeline (device-resize): {batch / t_bf16:.0f} tiles/s",
+    parity_tps = batch / t_bf16
+    print(f"# bf16 parity pipeline (device-resize): {parity_tps:.0f} tiles/s",
           file=sys.stderr)
+    print(json.dumps({
+        "metric": f"wsi_tiles_per_sec_per_chip_1536px_b{batch}_bf16_parity",
+        "value": round(parity_tps, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(parity_tps / BASELINE_TILES_PER_SEC, 2),
+    }))
     det_hr = Detector(host_resize=True, precision=precision,
                       int8_downsample=int8_ds, **fast_kw)
     if precision != "bf16":

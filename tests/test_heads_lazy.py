@@ -74,8 +74,9 @@ def test_lazy_no_candidates():
 
 
 def test_lazy_detector_integration():
-    """Detector(lazy_decode=True) produces the same detections as the
-    default path on the mini model (full pipeline through rescale)."""
+    """Detector(lazy_decode=True) — the r4 DEFAULT parity pipeline —
+    produces the same detections as the dense-decode path
+    (lazy_decode=False) on the mini model (full pipeline through rescale)."""
     import jax
 
     from amyloid_yolo_tpu.detectors import Detector
@@ -88,7 +89,7 @@ def test_lazy_detector_integration():
 
     kw = dict(spec=spec, model_size=IMG, tile_size=128, capacity=8,
               conf_thres=0.3)
-    d0, v0 = Detector(params=params, **kw)(tiles)
+    d0, v0 = Detector(params=params, **kw, lazy_decode=False)(tiles)
     d1, v1 = Detector(params=params, **kw, lazy_decode=True)(tiles)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))

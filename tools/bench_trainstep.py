@@ -142,7 +142,22 @@ def main():
                     help="A/B BN_FORM (reduce|matmul) x TARGETS_FORM "
                          "(scatter|dense) on the full train step, one "
                          "process (CLAUDE.md: batch TPU experiments)")
+    ap.add_argument("--batch-sweep", action="store_true",
+                    help="b8/b16/b32 of the SHIPPED config (planar + s2d "
+                         "stem) in one process — the matched-config batch "
+                         "scaling table (r3 verdict #5: the old table mixed "
+                         "pre/post-planar configs)")
     args = ap.parse_args()
+    if args.batch_sweep:
+        res = {}
+        for B in (8, 16, 32):
+            res[B] = bench_step(B, args.size, args.iters, args.dtype,
+                                tag=" (planar+s2d)", s2d_stem=True,
+                                image_layout="planar")
+        for B, dt in res.items():
+            print(f"  b{B:<3d} {dt:7.2f} ms/step  {B / dt * 1e3:7.1f} "
+                  f"img/s/chip")
+        return 0
     if args.warp_ab:
         bench_warp(args.batch, args.size, args.iters)
     if args.layout_ab:

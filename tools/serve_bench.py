@@ -29,6 +29,14 @@ Usage (run alone — never beside another heavy JAX process)::
     python tools/serve_bench.py --precision int8_full --fast_path True \
         --concurrency 32 --duration 30
     python tools/serve_bench.py --img_side 416 --concurrency 64
+
+Overload scenario (r3 verdict #2 — prove bounded memory + bounded p99 at
+~4× saturation): crank ``--concurrency`` well past what the host sustains
+and shrink ``--max_queue``; the report's ``shed``/``queue_depth_max``/
+``rss_mb_peak`` show the bound holding while 200s keep flowing::
+
+    python tools/serve_bench.py --img_side 416 --concurrency 128 \
+        --max_queue 32 --duration 30
 """
 
 from __future__ import annotations
@@ -72,7 +80,7 @@ def make_jpeg(side: int, quality: int = 90) -> bytes:
 
 
 def run_client(host: str, port: int, body: bytes, deadline: float,
-               lat_ms: list, errors: list):
+               lat_ms: list, errors: list, shed: list):
     conn = http.client.HTTPConnection(host, port, timeout=300)
     while time.monotonic() < deadline:
         t0 = time.monotonic()
@@ -81,6 +89,9 @@ def run_client(host: str, port: int, body: bytes, deadline: float,
                          headers={"Content-Type": "application/octet-stream"})
             resp = conn.getresponse()
             resp.read()
+            if resp.status == 503:  # load shed: bounded queue said not now
+                shed.append((time.monotonic() - t0) * 1e3)
+                continue
             if resp.status != 200:
                 errors.append(resp.status)
                 continue
@@ -90,6 +101,12 @@ def run_client(host: str, port: int, body: bytes, deadline: float,
             continue
         lat_ms.append((time.monotonic() - t0) * 1e3)
     conn.close()
+
+
+def rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
 def main() -> int:
@@ -111,6 +128,8 @@ def main() -> int:
                     help="C++ in-memory decode for exact-tile JPEGs")
     ap.add_argument("--fast_decode", type=str, default="False",
                     help="DCT-scaled native decode (non-parity pixels)")
+    ap.add_argument("--max_queue", type=int, default=None,
+                    help="bounded executor queue (default 8x batch)")
     args = ap.parse_args()
 
     from amyloid_yolo_tpu.detectors import Detector
@@ -133,7 +152,8 @@ def main() -> int:
                              batch_size=args.batch_size,
                              max_wait_ms=args.max_wait_ms,
                              native_decode=_truthy(args.native_decode),
-                             fast_decode=_truthy(args.fast_decode))
+                             fast_decode=_truthy(args.fast_decode),
+                             max_queue=args.max_queue)
     server.start()
     if args.img:
         body = open(args.img, "rb").read()
@@ -154,17 +174,32 @@ def main() -> int:
 
     lat_ms: list = []
     errors: list = []
+    shed: list = []
+    rss_before = rss_mb()
     deadline = time.monotonic() + args.duration
     threads = [threading.Thread(
         target=run_client,
-        args=("127.0.0.1", server.port, body, deadline, lat_ms, errors),
+        args=("127.0.0.1", server.port, body, deadline, lat_ms, errors, shed),
         daemon=True) for _ in range(args.concurrency)]
+    # sample the live queue depth so the overload report shows the bound held
+    depth_max = [0]
+    mon_stop = threading.Event()
+
+    def monitor():
+        while not mon_stop.is_set():
+            depth_max[0] = max(depth_max[0], server.executor.queue_depth())
+            time.sleep(0.02)
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
     t0 = time.monotonic()
     for t in threads:
         t.start()
     for t in threads:
         t.join(timeout=args.duration + 300)
     wall = time.monotonic() - t0
+    mon_stop.set()
+    mon.join(5)
     stats = server._stats()
     server.stop()
 
@@ -183,6 +218,17 @@ def main() -> int:
         "img_side": args.img_side,
         "precision": det.precision,
         "batch_size": args.batch_size,
+        # overload/backpressure observables: shed count (503s), how fast a
+        # shed answer returns, the max live queue depth (must stay <=
+        # max_queue), and process peak RSS growth over the run (bounded
+        # memory under any offered load)
+        "shed": stats["shed"],
+        "shed_p50_ms": round(float(np.percentile(np.asarray(shed), 50)), 1)
+                       if shed else None,
+        "queue_depth_max": depth_max[0],
+        "max_queue": stats["max_queue"],
+        "rss_mb_start": round(rss_before, 1),
+        "rss_mb_peak": round(rss_mb(), 1),
     }
     print(json.dumps(out), flush=True)
     return 0
