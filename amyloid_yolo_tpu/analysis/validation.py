@@ -65,8 +65,19 @@ def calculate_plaque_counts_per_wsi(
     output_dir: str = "output",
     wsi_whitelist: Optional[Sequence[str]] = None,
     cross_tile_merge: bool = False,
+    background_skip: bool = False,
+    background_max_bpp: Optional[float] = None,
+    background_min_tissue: Optional[float] = None,
 ) -> Dict[str, Dict[str, int]]:
     """Sweep every tile of every WSI under ``directory``.
+
+    ``background_skip=True`` runs the sweep-time background prefilter
+    (:func:`amyloid_yolo_tpu.io.tissue.prefilter_tile_paths`: free
+    file-size stage + cheap decode-confirm stage) before any tile is
+    decoded at full size — the host decode is the sweep's bottleneck and
+    real WSIs are majority background.  Skipped tiles still get zero-count
+    entries in the per-tile dictionary (the reference records every tile).
+    Accuracy-gated, default off: ``tools/background_gate.py``.
 
     Saves ``<prefix>WSI_plaque_counts_dictionary.pkl`` and
     ``<prefix>1536_plaque_counts_dictionary.pkl`` with the reference's
@@ -104,9 +115,26 @@ def calculate_plaque_counts_per_wsi(
         if wsi_whitelist is not None and wsi not in wsi_whitelist:
             continue
         dets_by_path: Dict[str, Optional[np.ndarray]] = {}
+        n_skipped = 0
+        n_total = 0
         for tile_dir in tile_dirs:
             folder = ImageFolder(tile_dir, tile_size=detector.tile_size)
+            n_total += len(folder.files)
+            if background_skip:
+                from ..io.tissue import prefilter_tile_paths
+
+                kw = {}
+                if background_max_bpp is not None:
+                    kw["max_bpp"] = background_max_bpp
+                if background_min_tissue is not None:
+                    kw["min_tissue"] = background_min_tissue
+                folder.files, skipped = prefilter_tile_paths(folder.files, **kw)
+                n_skipped += len(skipped)
+                for p in skipped:  # reference records every tile: 0 counts
+                    tile_counts[wsi].setdefault(p, {"Cored": 0, "CAA": 0})
             bs = resolve_batch_size(batch_size, len(folder))
+            if not folder.files:
+                continue
             for paths, batch, n_valid in folder.iter_batches(bs):
                 ragged = detector.detect_batch_ragged(batch)
                 for path, dets in list(zip(paths, ragged))[:n_valid]:
@@ -125,6 +153,10 @@ def calculate_plaque_counts_per_wsi(
                     dets_by_path[path] = dets
                     if save_images:
                         save_tile_render(path, dets)
+
+        if background_skip and n_total:
+            print(f"{wsi}: background prefilter skipped {n_skipped}/{n_total} "
+                  f"tiles ({100.0 * n_skipped / n_total:.1f}%)", flush=True)
 
         if cross_tile_merge:
             origins = {p: tile_origin(p, detector.tile_size)

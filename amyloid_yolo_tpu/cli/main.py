@@ -158,6 +158,7 @@ def cmd_detect(args) -> int:
         merge_boxes=_truthy(args.merge_boxes),
         caa_filter=(caa_filter.filter_path if caa_filter else None),
         fast_decode=_truthy(args.fast_decode),
+        background_skip=_truthy(args.background_skip),
     )
     if det.overflow_images:
         print(f"WARNING: {det.overflow_images}/{det.images_seen} images "
@@ -271,6 +272,9 @@ def cmd_sweep(args) -> int:
         pickles_dir=args.pickles_dir, batch_size=args.batch_size,
         save_images=_truthy(args.save_images), wsi_whitelist=whitelist,
         cross_tile_merge=_truthy(args.cross_tile_merge),
+        background_skip=_truthy(args.background_skip),
+        background_max_bpp=args.background_max_bpp,
+        background_min_tissue=args.background_min_tissue,
     )
     for wsi, c in counts.items():
         print(f"{wsi}: Cored={c['Cored']} CAA={c['CAA']}")
@@ -281,7 +285,8 @@ def cmd_crop(args) -> int:
     from ..io import tiles
 
     failed = tiles.crop_wsis(args.wsi_dirs, args.save_dir,
-                             temp_map_pickle=args.temp_map_pickle)
+                             temp_map_pickle=args.temp_map_pickle,
+                             min_tissue_fraction=args.min_tissue_fraction)
     if failed:
         print("failed to tile: {}".format(failed))
     tiles.merge_1536_subdirectories(args.save_dir)
@@ -436,6 +441,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
+    d.add_argument("--background_skip", type=str, default="False",
+                   help="skip background tiles before full-size decode "
+                        "(file-size stage + decode-confirm stage; the host "
+                        "decode is the sweep bottleneck). Accuracy-gated "
+                        "opt-in: tools/background_gate.py")
     d.add_argument("--nms_pool", type=int, default=None,
                    help="raise the NMS candidate pool + detection capacity "
                         "(default 64); overflow warnings tell you when to")
@@ -522,6 +532,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
+    s.add_argument("--background_skip", type=str, default="False",
+                   help="skip background tiles before full-size decode "
+                        "(file-size stage + decode-confirm stage; the host "
+                        "decode is the sweep bottleneck). Accuracy-gated "
+                        "opt-in: tools/background_gate.py")
+    s.add_argument("--background_max_bpp", type=float, default=None,
+                   help="stage-1 candidate threshold, bytes/pixel "
+                        "(default 0.05)")
+    s.add_argument("--background_min_tissue", type=float, default=None,
+                   help="stage-2 skip threshold, tissue fraction "
+                        "(default 0.02)")
     s.add_argument("--nms_pool", type=int, default=None,
                    help="raise the NMS candidate pool + detection capacity "
                         "(default 64); overflow warnings tell you when to")
@@ -531,6 +552,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--wsi_dirs", nargs="+", required=True)
     c.add_argument("--save_dir", type=str, default="data/CERAD/1536_tiles/")
     c.add_argument("--temp_map_pickle", type=str, default="pickles/temporary_WSI_map.pkl")
+    c.add_argument("--min_tissue_fraction", type=float, default=0.0,
+                   help="crop-time background suppression: tiles below this "
+                        "tissue fraction are never written (0 = reference "
+                        "behavior; PIL tiler path only — dzsave trees use "
+                        "the sweep-time prefilter). Gate: "
+                        "tools/background_gate.py")
     c.set_defaults(fn=cmd_crop)
 
     x = sub.add_parser("export")

@@ -414,8 +414,16 @@ class Detector:
         caa_filter=None,
         pipeline_depth: int = 2,
         fast_decode: bool = False,
+        background_skip: bool = False,
     ) -> Dict[str, Optional[np.ndarray]]:
         """Run over every image in a folder (reference ``detect.py`` flow).
+
+        ``background_skip=True`` prefilters background tiles before any
+        full-size decode (file-size stage + decode-confirm stage,
+        :mod:`amyloid_yolo_tpu.io.tissue`) — skipped tiles appear in the
+        result dict as ``None`` (no detections), exactly as an inferred
+        empty tile would.  Accuracy-gated opt-in
+        (``tools/background_gate.py``).
 
         ``batch_size`` may be an int or ``"auto"`` (batch 32 for deep
         queues, 16 otherwise — :func:`resolve_batch_size`).
@@ -442,6 +450,18 @@ class Detector:
             fast_decode=fast_decode,
         )
         results: Dict[str, Optional[np.ndarray]] = {}
+        if background_skip:
+            from .io.tissue import prefilter_tile_paths
+
+            folder_ds.files, skipped = prefilter_tile_paths(folder_ds.files)
+            for p in skipped:
+                results[p] = None
+            if skipped:
+                print(f"background prefilter skipped {len(skipped)}/"
+                      f"{len(skipped) + len(folder_ds.files)} tiles",
+                      flush=True)
+            if not folder_ds.files:
+                return results
         inflight: "collections.deque" = collections.deque()
         tile_size = self.tile_size
 

@@ -40,7 +40,10 @@ def have_pyvips() -> bool:
 # ---------------------------------------------------------------------------
 
 def tile_image_array(img: np.ndarray, out_dir: str, name: str,
-                     tile_size: int = TILE_SIZE, quality: int = 90) -> List[str]:
+                     tile_size: int = TILE_SIZE, quality: int = 90,
+                     min_tissue_fraction: float = 0.0,
+                     skipped_out: Optional[List[Tuple[int, int]]] = None,
+                     ) -> List[str]:
     """Tile an HWC uint8 array into ``<out_dir>/<name>/0/<row>/<col>.jpg``.
 
     True dzsave google layout (zoom dir ``0``, one subdirectory per tile
@@ -48,8 +51,18 @@ def tile_image_array(img: np.ndarray, out_dir: str, name: str,
     partial size (dzsave behavior).  Returns written paths.  The grid
     coordinates are recoverable from any path via :func:`tile_origin` —
     the cross-tile merge relies on that.
+
+    ``min_tissue_fraction`` > 0 enables crop-time background suppression
+    (r4): tiles whose :func:`~amyloid_yolo_tpu.io.tissue.tissue_fraction`
+    falls below it are never written — the statistic is ~free while the
+    pixels are in hand, and every skipped tile saves a JPEG encode now
+    plus a Huffman decode per future sweep.  Skipped grid coords go to
+    ``skipped_out`` when given.  Default 0.0 = reference behavior (write
+    everything).  Gate before enabling: ``tools/background_gate.py``.
     """
     from PIL import Image
+
+    from .tissue import tissue_fraction
 
     base = os.path.join(out_dir, name, "0")
     h, w = img.shape[:2]
@@ -59,6 +72,11 @@ def tile_image_array(img: np.ndarray, out_dir: str, name: str,
         os.makedirs(row_dir, exist_ok=True)
         for col, left in enumerate(range(0, w, tile_size)):
             tile = img[top:top + tile_size, left:left + tile_size]
+            if (min_tissue_fraction > 0.0
+                    and tissue_fraction(tile) < min_tissue_fraction):
+                if skipped_out is not None:
+                    skipped_out.append((row, col))
+                continue
             p = os.path.join(row_dir, f"{col}.jpg")
             Image.fromarray(tile).save(p, quality=quality)
             paths.append(p)
@@ -87,11 +105,17 @@ def tile_origin(path: str, tile_size: int = TILE_SIZE) -> Optional[Tuple[int, in
     return None
 
 
-def save_and_tile(image_path: str, output_dir: str, tile_size: int = TILE_SIZE) -> None:
+def save_and_tile(image_path: str, output_dir: str, tile_size: int = TILE_SIZE,
+                  min_tissue_fraction: float = 0.0) -> None:
     """Tile one slide file (pyvips when available, PIL fallback).
 
     pyvips path mirrors ``save_and_tile`` (``crop.py:13-25``): google
     layout, ``.jpg[Q=90]``, depth one.
+
+    ``min_tissue_fraction``: crop-time background suppression for the PIL
+    tiler path (see :func:`tile_image_array`).  The pyvips ``dzsave`` path
+    writes everything (no per-tile hook) — prune dzsave trees with the
+    sweep-time prefilter (:mod:`amyloid_yolo_tpu.io.tissue`) instead.
     """
     basename = os.path.basename(image_path)
     name = basename.split(".svs")[0].rsplit(".", 1)[0] if ".svs" not in basename \
@@ -116,7 +140,8 @@ def save_and_tile(image_path: str, output_dir: str, tile_size: int = TILE_SIZE) 
     else:
         from .datasets import load_image_rgb
 
-        tile_image_array(load_image_rgb(image_path), output_dir, name, tile_size)
+        tile_image_array(load_image_rgb(image_path), output_dir, name, tile_size,
+                         min_tissue_fraction=min_tissue_fraction)
 
 
 def divide_and_conquer(image_path: str, output_dir: str,
@@ -148,7 +173,8 @@ def divide_and_conquer(image_path: str, output_dir: str,
 
 
 def crop_wsis(wsi_dirs: List[str], save_dir: str,
-              temp_map_pickle: Optional[str] = None) -> List[str]:
+              temp_map_pickle: Optional[str] = None,
+              min_tissue_fraction: float = 0.0) -> List[str]:
     """Tile every slide under the given directories (``cropCERADWSIs``,
     ``crop.py:27-61``): try the direct tiler, fall back to
     divide-and-conquer, account failures.  Returns failed image names."""
@@ -160,7 +186,8 @@ def crop_wsis(wsi_dirs: List[str], save_dir: str,
             path = os.path.join(wsi_dir, imagename)
             try:
                 temp_map[path] = imagename.replace(".svs", "")
-                save_and_tile(path, save_dir)
+                save_and_tile(path, save_dir,
+                              min_tissue_fraction=min_tissue_fraction)
             except Exception:
                 try:
                     divide_and_conquer(path, save_dir)
