@@ -72,4 +72,47 @@ def _is_folded(params) -> bool:
     return not any(k.startswith("bn_") for k in params)
 
 
-__all__ = ["make_spatial_mesh", "spatial_forward"]
+def spatial_detect(
+    params,
+    spec: GraphSpec,
+    tiles_u8: jnp.ndarray,
+    mesh: Mesh,
+    conf_thres: float = 0.8,
+    nms_thres: float = 0.4,
+    capacity: int = 64,
+    compute_dtype=jnp.float32,
+):
+    """Full detection pipeline at NATIVE (≥1536²) resolution on an sp mesh.
+
+    The high-resolution inference path (r3 verdict #8 wiring): uint8 tiles
+    → normalize → :func:`spatial_forward`-style sharded backbone (height
+    over ``sp``, batch over ``dp``; GSPMD inserts conv halo exchanges) →
+    decode + merging NMS on the replicated head outputs.  Boxes come back
+    in the INPUT's own pixel space (no rescale: the input is the tile).
+
+    Returns ``(dets (B, capacity, 7), valid (B, capacity), n_candidates)``
+    — the same contract as ``Detector``'s compiled pipeline.
+    """
+    from ..ops import nms as nms_ops
+
+    img_dim = int(tiles_u8.shape[1])
+    x_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fwd(p, x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
+            if _is_folded(p) else darknet.apply(p, spec, x,
+                                                compute_dtype=compute_dtype)[0]
+        pred = heads.decode_all(list(maps), spec, img_dim)
+        pred = jax.lax.with_sharding_constraint(pred, rep)
+        return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
+                                           capacity, return_count=True)
+
+    x = jax.device_put(tiles_u8, x_sharding)
+    p = jax.device_put(params, rep)
+    return fwd(p, x)
+
+
+__all__ = ["make_spatial_mesh", "spatial_forward", "spatial_detect"]

@@ -30,3 +30,31 @@ def test_spatial_mesh_shape():
     assert mesh.shape == {"dp": 2, "sp": 4}
     with pytest.raises(ValueError):
         make_spatial_mesh(n_sp=16, n_dp=1)
+
+
+def test_spatial_detect_full_pipeline(rng):
+    """spatial_detect (the ≥1536² native-resolution inference path) ≡ the
+    unsharded pipeline: normalize → forward → decode → merging NMS with
+    overflow count, boxes in the input's own pixel space."""
+    from amyloid_yolo_tpu.ops import nms as nms_ops
+    from amyloid_yolo_tpu.parallel.spatial import spatial_detect
+
+    spec = mini_spec(num_classes=2, img_size=64)
+    params = darknet.init_params(jax.random.PRNGKey(1), spec)
+    folded = darknet.fold_batchnorm(params, spec)
+    tiles = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+
+    x = jnp.asarray(tiles).astype(jnp.float32) / 255.0
+    maps = darknet.apply_folded(folded, spec, x, compute_dtype=jnp.float32)
+    pred = heads.decode_all(maps, spec, 64)
+    want_d, want_v, want_n = nms_ops.non_max_suppression(
+        pred, 0.3, 0.4, 16, return_count=True)
+
+    mesh = make_spatial_mesh(n_sp=4, n_dp=2)
+    got_d, got_v, got_n = spatial_detect(
+        folded, spec, jnp.asarray(tiles), mesh,
+        conf_thres=0.3, nms_thres=0.4, capacity=16)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=1e-4, atol=1e-4)
