@@ -163,6 +163,13 @@ def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -
         raise FileNotFoundError(
             f"weights file not found: {path!r} (expected a darknet binary, "
             f"a torch .pth/.pt/.pkl state dict, or an orbax directory)")
+    if os.path.isdir(path):
+        # orbax checkpoint directory (a Trainer save): params-only restore —
+        # matches the reference's --pretrained_weights semantics, which
+        # reload weights but never optimizer state (train.py:64-68).  Use
+        # --resume instead to also restore optimizer state.
+        tree = load_checkpoint(path)
+        return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
     if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".pkl"):
         return load_torch_state_dict(spec, path)
     loaded, _ = load_darknet_weights(spec, path, params)

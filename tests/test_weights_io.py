@@ -103,6 +103,17 @@ def test_orbax_checkpoint_roundtrip(spec_params, tmp_path):
     tree_equal(params, restored)
 
 
+def test_load_pretrained_orbax_dir(spec_params, tmp_path):
+    """--pretrained_weights pointed at an orbax Trainer checkpoint directory
+    restores params only (the reference's resume semantics, train.py:64-68)."""
+    spec, params = spec_params
+    path = str(tmp_path / "yolov3_ckpt_7")
+    W.save_checkpoint(path, {"params": params, "step": np.asarray(7),
+                             "seen": np.asarray(99)})
+    loaded = W.load_pretrained(spec, path)
+    tree_equal(params, loaded)
+
+
 def test_load_pretrained_missing_file_message(spec_params):
     """`amyolo test --weights_path /nonexistent` must fail with a clear
     FileNotFoundError naming the path, not a torch/struct traceback."""
