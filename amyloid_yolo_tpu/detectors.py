@@ -123,10 +123,11 @@ class Detector:
         # lazy_decode: score → top-k → sparse decode (heads.decode_topk)
         # instead of decoding all ~10.6k anchor rows densely.  Bit-identical
         # outputs to the dense path (same ops on the selected rows, same
-        # tie order — tests/test_heads_lazy.py; TPU gate: 200/200 real
-        # images, identical counts/classes, 0.09 px max drift = bf16 fusion
-        # rounding, fastpath_gate_final/gate_summary.json), so it is the
-        # DEFAULT parity pipeline since r4 (~8-10% faster at b32);
+        # tie order — tests/test_heads_lazy.py; TPU gate, two trained
+        # ckpts: 200/200 identical @ 0.09 px max drift (fastpath_gate/),
+        # count-identical 200/200 with one image at ≤3 px drift
+        # (fastpath_gate_final/) — bf16 fusion rounding), so it is the
+        # DEFAULT parity pipeline since r4 (wash at b32, faster at b16);
         # lazy_decode=False keeps the dense decode for A/B.
         self.lazy_decode = lazy_decode
         self.model_size = model_size
