@@ -105,7 +105,9 @@ def main() -> int:
             name = os.path.basename(path)
             preds[name] = ([] if rows is None else [
                 ({"x1": float(r[0]), "y1": float(r[1]),
-                  "x2": float(r[2]), "y2": float(r[3])},
+                  "x2": float(r[2]), "y2": float(r[3]),
+                  "conf": float(r[4]), "cls_conf": float(r[5]),
+                  "cls_pred": float(r[6])},
                  ("CAA", "Cored")[int(r[6])]) for r in np.asarray(rows)])
 
         # study-protocol AP@0.5 per class (PRC machinery)
@@ -145,6 +147,12 @@ def main() -> int:
             "recall_large": round(hit["large"] / max(tot["large"], 1), 4),
             "wall_s_200_images": round(wall, 1),
             "img_per_s": round(200 / wall, 1),
+            # pool-overflow observability: images whose conf-passing
+            # candidate count exceeded nms_pool (=128 here).  Non-zero at a
+            # larger size would mean recall there is capacity-truncated,
+            # not model-limited — re-run with a bigger --capacity.
+            "overflow_images": det.overflow_images,
+            "max_candidates": det.max_candidates_seen,
         }
         print(f"size {size}: {json.dumps(results[size])}", flush=True)
 
