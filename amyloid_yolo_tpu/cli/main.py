@@ -46,6 +46,9 @@ def _fast_path_kwargs(args) -> dict:
         kw["int8_downsample"] = 32
     elif precision == "int8_full":
         kw["s2d_stem"] = True
+    pct = getattr(args, "calib_percentile", None)
+    if pct is not None:
+        kw["calib_percentile"] = float(pct)
     return kw
 
 
@@ -220,12 +223,27 @@ def cmd_serve(args) -> int:
     if _truthy(args.warmup):
         calib = None
         if det.precision.startswith("int8") and args.calibration_folder:
+            import numpy as np
+
             from ..io.datasets import ImageFolder
 
-            folder = ImageFolder(args.calibration_folder,
-                                 tile_size=det.tile_size)
-            _, calib, _ = next(iter(folder.iter_batches(
-                min(len(folder), server.executor.batch_size))))
+            # host_resize detectors calibrate on model-size input (the same
+            # frame inference sees); gather ~CALIB_TILES tiles, not one
+            # batch — 8-tile calibration cost int8_full 2.7 mAP pts
+            # (tools/int8_calib_study.py, BENCH.md "int8 calibration")
+            folder = ImageFolder(
+                args.calibration_folder, tile_size=det.tile_size,
+                resize_to=det.model_size if det.host_resize else None)
+            chunks, got = [], 0
+            for _p, batch, n_valid in folder.iter_batches(
+                    server.executor.batch_size):
+                take = min(n_valid, det.CALIB_TILES - got)
+                chunks.append(np.asarray(batch)[:take])
+                got += take
+                if got >= det.CALIB_TILES:
+                    break
+            if chunks:
+                calib = np.concatenate(chunks, axis=0)
         if server.warmup(calib):
             print("pipeline compiled; ready", flush=True)
         else:
@@ -438,6 +456,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--precision", type=str, default=None,
                    choices=["int8_early", "int8_full"],
                    help="int8 flavor for --fast_path (default int8_early)")
+    d.add_argument("--calib_percentile", type=float, default=None,
+                   help="int8 activation-scale statistic: omit = amax; "
+                        "e.g. 99.9 = that percentile of |acts| "
+                        "(outliers clip; tools/int8_calib_study.py)")
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
@@ -480,6 +502,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--precision", type=str, default=None,
                     choices=["int8_early", "int8_full"],
                     help="int8 flavor for --fast_path (default int8_early)")
+    sv.add_argument("--calib_percentile", type=float, default=None,
+                   help="int8 activation-scale statistic: omit = amax; "
+                        "e.g. 99.9 = that percentile of |acts| "
+                        "(outliers clip; tools/int8_calib_study.py)")
     sv.add_argument("--fast_path", type=str, default="False",
                     help="gated non-parity fast stack (int8 + lazy decode + "
                          "approx top-k)")
@@ -529,6 +555,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--precision", type=str, default=None,
                    choices=["int8_early", "int8_full"],
                    help="int8 flavor for --fast_path (default int8_early)")
+    s.add_argument("--calib_percentile", type=float, default=None,
+                   help="int8 activation-scale statistic: omit = amax; "
+                        "e.g. 99.9 = that percentile of |acts| "
+                        "(outliers clip; tools/int8_calib_study.py)")
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")

@@ -107,6 +107,7 @@ class Detector:
         s2d_stem: bool = False,
         s2d_downsample: bool = False,
         int32_accum_max_hw: int = 0,
+        calib_percentile: float = 100.0,
     ):
         self.spec = spec or yolov3_spec(num_classes=2)
         if params is None:
@@ -145,6 +146,11 @@ class Detector:
         # wide, bf16 above; default 0 = all-bf16, the gated configuration
         # (end-to-end wash — darknet.apply_folded_int8_full docstring)
         self.int32_accum_max_hw = int32_accum_max_hw
+        # int8 activation-scale statistic: 100 = amax (classic); below 100,
+        # that percentile of |activations| — outliers saturate (clipped)
+        # instead of widening the whole layer's grid.  Gate per checkpoint:
+        # tools/int8_calib_study.py / BENCH.md "int8 calibration".
+        self.calib_percentile = float(calib_percentile)
         self._int8_upto = (darknet.int8_region(self.spec, int8_downsample)
                            if precision == "int8_early" else 0)
         if precision == "int8_early":
@@ -332,10 +338,11 @@ class Detector:
             x = preprocess_tiles(tiles, self.model_size)
         if self.precision == "int8_full":
             scales = darknet.calibrate_act_scales_full(
-                self.params, self.spec, x)
+                self.params, self.spec, x, percentile=self.calib_percentile)
         else:
             scales = darknet.calibrate_act_scales(
-                self.params, self.spec, x, self._int8_upto)
+                self.params, self.spec, x, self._int8_upto,
+                percentile=self.calib_percentile)
         if accumulate and self._act_scales is not None:
             scales = {k: max(v, self._act_scales.get(k, 0.0))
                       for k, v in scales.items()}
@@ -356,6 +363,33 @@ class Detector:
         else:
             self._fn = None  # recompile lazily with the final scales
         return self._act_scales
+
+    #: lazy-calibration sample target for folder runs: 8-tile (one-batch)
+    #: calibration under-covers the activation range (see detect_folder)
+    CALIB_TILES = 48
+
+    def _calibrate_from_folder(self, folder_ds, batch_size: int) -> None:
+        """Calibrate int8 scales on the first ~CALIB_TILES tiles of a
+        folder (amax accumulated batch-wise), then compile once."""
+        chunks, got = [], 0
+        for _paths, batch, n_valid in folder_ds.iter_batches(batch_size):
+            take = min(n_valid, self.CALIB_TILES - got)
+            c = np.asarray(batch)[:take]
+            if len(c) < batch_size:
+                # pad by repeating the last tile: duplicate rows leave the
+                # amax unchanged, and ONE probe shape means ONE compile
+                # (each distinct shape is a multi-minute remote compile)
+                pad = np.repeat(c[-1:], batch_size - len(c), axis=0)
+                c = np.concatenate([c, pad], axis=0)
+            chunks.append(c)
+            got += take
+            if got >= self.CALIB_TILES:
+                break
+        if not chunks:
+            return
+        for c in chunks[:-1]:
+            self.calibrate(c, accumulate=True, rebuild=False)
+        self.calibrate(chunks[-1], accumulate=True)
 
     def __call__(self, tiles_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """tiles (B, tile, tile, 3) uint8 → (dets (B, K, 7), valid (B, K)).
@@ -487,6 +521,13 @@ class Detector:
                 results[path] = det
 
         batch_size = resolve_batch_size(batch_size, len(folder_ds))
+        if self.precision.startswith("int8") and self._act_scales is None:
+            # int8 lazy calibration over the first ~CALIB_TILES tiles, not
+            # just the first batch: 8-tile calibration under-covers the
+            # activation range and cost int8_full 2.7 mAP pts on the r4p2
+            # gate (amax_c8 0.657 vs amax_c48 0.684 vs bf16 0.675 —
+            # tools/int8_calib_study.py, BENCH.md "int8 calibration").
+            self._calibrate_from_folder(folder_ds, batch_size)
         for paths, batch, n_valid in folder_ds.iter_batches(batch_size):
             inflight.append((paths, n_valid, self(batch), self._last_ncand))
             if len(inflight) > pipeline_depth:

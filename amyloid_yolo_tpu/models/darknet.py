@@ -802,13 +802,26 @@ def quantize_folded_int8(folded: Params, spec: GraphSpec, upto: int) -> Params:
     return q
 
 
+def _act_stat(t: jnp.ndarray, percentile: float) -> jnp.ndarray:
+    """Per-layer activation range statistic for int8 calibration.
+
+    ``percentile=100`` is the classic amax; below 100 the scale comes from
+    that percentile of |activations| instead, so a handful of outliers no
+    longer widen the whole layer's quantization grid (outliers saturate at
+    ±127 — both quantizers clip).  One-time f32 probe cost only."""
+    a = jnp.abs(t)
+    if percentile >= 100.0:
+        return jnp.max(a)
+    return jnp.quantile(a.astype(jnp.float32).ravel(), percentile / 100.0)
+
+
 def calibrate_act_scales(folded: Params, spec: GraphSpec, x: jnp.ndarray,
-                         upto: int) -> Dict[str, float]:
+                         upto: int, percentile: float = 100.0) -> Dict[str, float]:
     """Static activation scales (amax/127 per layer output, f32 forward) for
     the int8 region, from a representative sample batch."""
     @jax.jit
     def probe(params, xin):
-        amax: Dict[str, jnp.ndarray] = {"in": jnp.max(jnp.abs(xin))}
+        amax: Dict[str, jnp.ndarray] = {"in": _act_stat(xin, percentile)}
         saved: Dict[int, jnp.ndarray] = {}
         prev = xin
         for i, layer in enumerate(spec.layers[:upto]):
@@ -825,7 +838,7 @@ def calibrate_act_scales(folded: Params, spec: GraphSpec, x: jnp.ndarray,
                 out = _upsample(prev, layer.factor)
             else:  # routes/yolo do not appear in the early backbone
                 raise TypeError(f"int8 region cannot contain {layer!r}")
-            amax[str(i)] = jnp.max(jnp.abs(out))
+            amax[str(i)] = _act_stat(out, percentile)
             saved[i] = out
             prev = out
         return amax
@@ -1003,11 +1016,12 @@ def quantize_folded_int8_full(folded: Params, spec: GraphSpec) -> Params:
 
 
 def calibrate_act_scales_full(folded: Params, spec: GraphSpec,
-                              x: jnp.ndarray) -> Dict[str, float]:
+                              x: jnp.ndarray,
+                              percentile: float = 100.0) -> Dict[str, float]:
     """amax/127 per layer output over the full graph (f32 probe forward)."""
     @jax.jit
     def probe(params, xin):
-        amax: Dict[str, jnp.ndarray] = {"in": jnp.max(jnp.abs(xin))}
+        amax: Dict[str, jnp.ndarray] = {"in": _act_stat(xin, percentile)}
         saved: Dict[int, jnp.ndarray] = {}
         prev = xin
         for i, layer in enumerate(spec.layers):
@@ -1031,7 +1045,7 @@ def calibrate_act_scales_full(folded: Params, spec: GraphSpec,
                 out = prev
             else:  # pragma: no cover
                 raise TypeError(f"unknown layer spec {layer!r}")
-            amax[str(i)] = jnp.max(jnp.abs(out))
+            amax[str(i)] = _act_stat(out, percentile)
             saved[i] = out
             prev = out
         return amax

@@ -62,6 +62,27 @@ def test_int8_full_close_to_f32(setup):
         assert corr > 0.98, f"head map correlation {corr}"
 
 
+def test_percentile_calibration_scales_and_accuracy(setup):
+    """percentile<100 produces per-layer scales <= amax scales (a tighter
+    grid; outliers clip at +-127) and the quantized forward still tracks
+    f32 closely (r4: tools/int8_calib_study.py measures the real-data
+    accuracy trade)."""
+    spec, folded, x = setup
+    amax = darknet.calibrate_act_scales_full(folded, spec, x)
+    p999 = darknet.calibrate_act_scales_full(folded, spec, x, percentile=99.9)
+    assert set(p999) == set(amax)
+    assert all(p999[k] <= amax[k] + 1e-12 for k in amax)
+    assert any(p999[k] < amax[k] * 0.999 for k in amax)  # actually tighter
+    qp = darknet.quantize_folded_int8_full(folded, spec)
+    maps8 = darknet.apply_folded_int8_full(
+        folded, qp, p999, spec, x, compute_dtype=jnp.float32)
+    maps = darknet.apply_folded(folded, spec, x, compute_dtype=jnp.float32)
+    for a, b in zip(maps8, maps):
+        corr = np.corrcoef(np.asarray(a, np.float64).ravel(),
+                           np.asarray(b, np.float64).ravel())[0, 1]
+        assert corr > 0.98, f"head map correlation {corr}"
+
+
 def test_int8_full_detector_pipeline(setup):
     """Detector(precision='int8_full') composes with lazy decode and
     produces detections comparable to the bf16 path on the mini model."""
