@@ -171,6 +171,14 @@ class BatchingExecutor:
             self.n_requests += 1
         self._wake.set()
         if not p.event.wait(timeout):
+            # drop the request if it is still queued, so a timed-out client
+            # doesn't also consume a device slot later (under overload every
+            # expired entry dispatched anyway would amplify the backlog)
+            with self._lock:
+                try:
+                    self._queue.remove(p)
+                except ValueError:
+                    pass  # already dispatched; result is moot
             raise TimeoutError("detection dispatch timed out")
         if p.error is not None:
             raise p.error

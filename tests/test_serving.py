@@ -292,6 +292,46 @@ def test_warmup_refuses_noise_calibration_for_int8():
         srv.stop()
 
 
+def test_timed_out_request_is_cancelled_not_dispatched():
+    """A request whose submit() times out while still queued is removed from
+    the queue — it must not consume a device dispatch later (under overload,
+    dispatching expired entries would amplify the backlog)."""
+    release = threading.Event()
+    entered = threading.Event()
+
+    class SlowDet:
+        def detect_batch_ragged(self, batch):
+            entered.set()
+            release.wait(30)
+            return [None] * len(batch)
+
+    ex = BatchingExecutor(SlowDet(), batch_size=1, max_wait_ms=1.0,
+                          max_queue=8).start()
+    try:
+        tile = np.zeros((8, 8, 3), np.uint8)
+        # pin the device with request A
+        ta = threading.Thread(target=lambda: ex.submit(tile, timeout=60),
+                              daemon=True)
+        ta.start()
+        assert entered.wait(10)
+        # request B times out while queued -> must be dropped, not dispatched
+        with pytest.raises(TimeoutError):
+            ex.submit(tile, timeout=0.2)
+        assert ex.queue_depth() == 0
+        release.set()
+        ta.join(30)
+        deadline = time.time() + 5
+        while ex.n_dispatches < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert ex.n_dispatches == 1  # A only; B never reached the device
+        # executor still healthy
+        assert ex.submit(tile, timeout=30) is None
+        assert ex.n_dispatches == 2
+    finally:
+        release.set()
+        ex.stop()
+
+
 def test_executor_sheds_on_bounded_queue():
     """r3 verdict #2: the queue is bounded — a burst past max_queue is shed
     with QueueFullError (not enqueued), counted, and the executor recovers
