@@ -90,6 +90,8 @@ def cmd_train(args) -> int:
         s2d_stem=(None if args.s2d_stem == "auto"
                   else _truthy(args.s2d_stem)),
         image_layout=args.image_layout,
+        ema_decay=args.ema_decay,
+        keep_checkpoints=args.keep_checkpoints,
         distributed=_truthy(args.distributed),
         coordinator_address=args.coordinator_address,
         num_processes=args.num_processes,
@@ -410,6 +412,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "computes layers 0-1 on the s2d grid with gradients "
                         "mapped back to the standard 3x3 weights — same "
                         "function/gradients up to f32 summation order")
+    t.add_argument("--keep_checkpoints", type=int, default=None,
+                   help="retention: keep only the most recent N epoch "
+                        "checkpoints plus every tracked best epoch "
+                        "(default: keep all, the reference behavior — "
+                        "~650 MB per epoch for the full model)")
+    t.add_argument("--ema_decay", type=float, default=None,
+                   help="track an exponential moving average of the weights "
+                        "(e.g. 0.999) and evaluate it alongside the raw "
+                        "weights each eval epoch; checkpoints then carry an "
+                        "ema_params tree (beyond-reference, default off)")
     t.add_argument("--image_layout", type=str, default="planar",
                    choices=["planar", "nhwc"],
                    help="in-step image pipeline layout; planar runs "

@@ -158,7 +158,18 @@ def params_to_torch_state_dict(spec: GraphSpec, params: Dict) -> Dict[str, np.nd
 
 
 def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -> Dict:
-    """Dispatch on extension like the reference CLIs (``train.py:64-68``)."""
+    """Dispatch on extension like the reference CLIs (``train.py:64-68``).
+
+    An orbax directory path may carry an ``#ema`` suffix
+    (``checkpoints/yolov3_ckpt_41#ema``) to select the checkpoint's
+    EMA-of-weights tree (``ema_params``, written when training ran with
+    ``--ema_decay``) instead of the raw params — usable from every weights
+    surface (train ``--pretrained_weights``, detect/test ``--weights_path``,
+    the gate and parity-study tools).
+    """
+    use_ema = path.endswith("#ema")
+    if use_ema:
+        path = path[: -len("#ema")]
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"weights file not found: {path!r} (expected a darknet binary, "
@@ -169,7 +180,17 @@ def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -
         # reload weights but never optimizer state (train.py:64-68).  Use
         # --resume instead to also restore optimizer state.
         tree = load_checkpoint(path)
+        if use_ema:
+            if not (isinstance(tree, dict) and tree.get("ema_params") is not None):
+                raise KeyError(
+                    f"{path!r} has no 'ema_params' tree — it was saved by a "
+                    f"run without --ema_decay")
+            return tree["ema_params"]
         return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+    if use_ema:
+        raise ValueError(
+            f"'#ema' selects the EMA tree of an orbax checkpoint directory; "
+            f"{path!r} is not a directory")
     if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".pkl"):
         return load_torch_state_dict(spec, path)
     loaded, _ = load_darknet_weights(spec, path, params)

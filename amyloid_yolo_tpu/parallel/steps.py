@@ -46,6 +46,12 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     seen: jnp.ndarray    # images seen (reference Darknet.seen)
+    # Exponential moving average of the FULL param tree (weights + BN
+    # running stats), updated once per optimizer apply when the step was
+    # built with ema_decay (beyond-reference capability; the reference
+    # trainer has no EMA).  None = disabled (empty pytree node, so every
+    # existing TrainState(...) call site and checkpoint stays valid).
+    ema: Any = None
 
 
 TRAINABLE_BN_KEYS = ("scale", "bias")
@@ -107,14 +113,34 @@ def make_optimizer(learning_rate: float = 1e-3,
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
 
 
-def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+def init_train_state(params, optimizer: optax.GradientTransformation,
+                     ema: bool = False) -> TrainState:
     train, _ = _split(params)
     return TrainState(
         params=params,
         opt_state=optimizer.init(train),
         step=jnp.zeros((), jnp.int32),
         seen=jnp.zeros((), jnp.int32),
+        # fresh buffers (copy=True): the state is donated into the jitted
+        # step, and a leaf aliased with params would be a double donation
+        ema=jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if ema else None,
     )
+
+
+def _ema_update(ema, params, decay: float, step):
+    """One EMA step over the full param tree.
+
+    Effective decay uses the TensorFlow ``ExponentialMovingAverage``
+    warmup ramp ``min(decay, (1 + t) / (10 + t))`` so the average is
+    usable from the first epochs instead of being dominated by the init
+    snapshot; ``t`` is the micro-batch counter (``state.step``).  The
+    ``e + (1 - d) * (p - e)`` form avoids catastrophic cancellation at
+    d → 1.
+    """
+    t = jnp.asarray(step, jnp.float32)
+    d = jnp.minimum(jnp.float32(decay), (1.0 + t) / (10.0 + t))
+    return jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e), ema, params)
 
 
 def make_train_step(
@@ -125,12 +151,16 @@ def make_train_step(
     compute_dtype=jnp.float32,
     s2d_stem: bool = False,
     image_layout: str = "nhwc",
+    ema_decay: float | None = None,
 ):
     """Build the jitted train step.
 
     Signature: ``step(state, images_u8 (B,S0,S0,3), targets (T,6),
     target_mask (T,), rng, img_size) -> (state, metrics)``; ``img_size`` is
     static (the multiscale schedule compiles one program per size, 7 total).
+    ``ema_decay`` folds an EMA update of the full (post-apply) param tree
+    into the same program — no extra dispatch (the ~1.7 ms host floor per
+    dispatch would cost ~8% of a b8 step on this harness).
     """
 
     def loss_fn(train_params, stats, images, targets, target_mask, img_size):
@@ -174,6 +204,8 @@ def make_train_step(
             opt_state=new_opt,
             step=state.step + 1,
             seen=state.seen + images_u8.shape[0],
+            ema=_ema_update(state.ema, merged, ema_decay, state.step)
+            if ema_decay is not None else state.ema,
         )
         return new_state, metrics
 
@@ -208,6 +240,7 @@ def make_accum_train_step(
     compute_dtype=jnp.float32,
     s2d_stem: bool = False,
     image_layout: str = "nhwc",
+    ema_decay: float | None = None,
 ):
     """Train step with the reference's gradient-accumulation schedule.
 
@@ -267,6 +300,20 @@ def make_accum_train_step(
             merged[k]["mean"] = s["mean"]
             merged[k]["var"] = s["var"]
 
+        if ema_decay is not None:
+            # EMA tracks optimizer iterates: update only on apply
+            # micro-batches (between applies the trainable params are
+            # unchanged, and updating anyway would shrink the effective
+            # decay horizon by the accumulation factor)
+            new_ema = jax.lax.cond(
+                do_apply,
+                lambda _: _ema_update(state.ema, merged, ema_decay, state.step),
+                lambda _: state.ema,
+                None,
+            )
+        else:
+            new_ema = state.ema
+
         metrics = {"loss": total, "applied": do_apply.astype(jnp.float32)}
         for hi, m in enumerate(per_head):
             for name, v in m.items():
@@ -276,6 +323,7 @@ def make_accum_train_step(
             opt_state=new_opt,
             step=state.step + 1,
             seen=state.seen + images_u8.shape[0],
+            ema=new_ema,
         )
         return AccumState(inner=new_state, grad_sum=grad_sum,
                           micro=astate.micro + 1), metrics

@@ -76,6 +76,19 @@ class TrainConfig:
     #   gradients as the standard stem up to f32 summation order
     #   (tests/test_s2d_train.py); measured 25.36 -> 23.70 ms/step b8@416
     #   bf16 on v5e (tools/bench_trainstep.py --s2d-ab).
+    keep_checkpoints: Optional[int] = None  # checkpoint retention: after
+    #   each save, prune epoch checkpoints down to the most recent N plus
+    #   every tracked best epoch (mAP / per-class / EMA).  None = reference
+    #   behavior (every epoch kept, train.py:205) — a full 80-epoch run of
+    #   this model writes ~50 GB of orbax state, so long runs should bound
+    #   it.  Pruning runs on the main host only.
+    ema_decay: Optional[float] = None  # exponential moving average of the
+    #   full param tree (weights + BN stats), updated once per optimizer
+    #   apply INSIDE the jitted step (steps._ema_update; TF-style warmup
+    #   ramp min(decay, (1+t)/(10+t))).  When set, each eval epoch scores
+    #   BOTH raw and EMA params (validation/mAP vs validation/mAP_ema) —
+    #   an in-run A/B — and checkpoints carry the EMA tree.  Beyond the
+    #   reference (train.py has no EMA); opt-in, default off for parity.
     image_layout: str = "planar"  # in-step image pipeline layout.  "planar"
     #   transposes ONCE at uint8 and runs resize+augment channel-planar
     #   (W-minor VPU tiles instead of 42x lane padding on C=3): measured
@@ -130,7 +143,8 @@ class Trainer:
         self.optimizer = steps_mod.make_optimizer(cfg.learning_rate,
                                                   cfg.grad_clip_norm,
                                                   burn_in=cfg.burn_in)
-        self.state = steps_mod.init_train_state(params, self.optimizer)
+        self.state = steps_mod.init_train_state(
+            params, self.optimizer, ema=cfg.ema_decay is not None)
         self.accum = max(1, int(cfg.gradient_accumulations or 1))
         # compute_dtype="bfloat16" runs conv forward/backward MXU-native;
         # params, loss reductions, BN stats and Adam state stay f32
@@ -150,13 +164,13 @@ class Trainer:
             self.step_fn = steps_mod.make_accum_train_step(
                 self.spec, self.optimizer, self.accum, augment=cfg.augment,
                 compute_dtype=cdtype, s2d_stem=s2d,
-                image_layout=cfg.image_layout,
+                image_layout=cfg.image_layout, ema_decay=cfg.ema_decay,
             )
         else:
             self.step_fn = steps_mod.make_train_step(
                 self.spec, self.optimizer, augment=cfg.augment,
                 compute_dtype=cdtype, s2d_stem=s2d,
-                image_layout=cfg.image_layout,
+                image_layout=cfg.image_layout, ema_decay=cfg.ema_decay,
             )
         if cfg.distributed and self.nproc > 1:
             mesh = self._dist.global_mesh()
@@ -167,6 +181,9 @@ class Trainer:
             self.step_fn = steps_mod.shard_train_step(self.step_fn, mesh)
         self.logger = MetricsLogger(cfg.logdir)
         self.best = {"map": (-1.0, -1), "Cored": (-1.0, -1), "CAA": (-1.0, -1)}
+        if cfg.ema_decay is not None:
+            self.best["map_ema"] = (-1.0, -1)
+        self._saved_epochs: list = []
 
     def train(self):
         cfg = self.cfg
@@ -248,6 +265,25 @@ class Trainer:
                 elif self.is_main:
                     print("---- mAP not measured (no detections found by model)")
 
+                if cfg.ema_decay is not None and self.state.ema is not None:
+                    # in-run A/B: score the EMA iterate on the same split
+                    out_ema = evaluate(
+                        self.spec, self._host_tree(self.state.ema),
+                        self.valid_path, iou_thres=0.5, conf_thres=0.5,
+                        nms_thres=0.5, img_size=cfg.img_size, batch_size=8,
+                    )
+                    if out_ema is not None:
+                        _, _, ap_e, _, _ = out_ema
+                        m = float(ap_e.mean())
+                        if self.is_main:
+                            self.logger.log({"validation/mAP_ema": m},
+                                            step=epoch)
+                            print(f"---- epoch {epoch}: mAP_ema {m:.5f}")
+                        if m > self.best["map_ema"][0]:
+                            self.best["map_ema"] = (m, epoch)
+                    elif self.is_main:
+                        print("---- mAP_ema not measured (no detections)")
+
             if epoch % cfg.checkpoint_interval == 0:
                 self.save_checkpoint(epoch)
         if cfg.epochs and (cfg.epochs - 1) % cfg.checkpoint_interval != 0:
@@ -258,6 +294,8 @@ class Trainer:
             print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
             print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
             print("Best CAA mAP: {} @ epoch: {}".format(*self.best["CAA"]))
+            if "map_ema" in self.best:
+                print("Best EMA mAP: {} @ epoch: {}".format(*self.best["map_ema"]))
         return self.state
 
     def _fetch(self, x):
@@ -278,12 +316,33 @@ class Trainer:
         # payload-mismatch abort).  Orbax itself writes replicated/np data
         # from the primary host only.
         path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{epoch}")
-        weights_io.save_checkpoint(path, {
+        tree = {
             "params": self._host_tree(self.state.params),
             "opt_state": self._host_tree(self.state.opt_state),
             "step": np.asarray(self._fetch(self.state.step)),
             "seen": np.asarray(self._fetch(self.state.seen)),
-        })
+        }
+        if self.state.ema is not None:
+            tree["ema_params"] = self._host_tree(self.state.ema)
+        weights_io.save_checkpoint(path, tree)
+        self._saved_epochs.append(epoch)
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self):
+        """Retention (cfg.keep_checkpoints): drop saved epoch checkpoints
+        beyond the most recent N, never dropping a tracked best epoch."""
+        n = self.cfg.keep_checkpoints
+        if not n or not self.is_main:
+            return
+        best_epochs = {ep for _, ep in self.best.values() if ep >= 0}
+        keep = set(self._saved_epochs[-n:]) | best_epochs
+        for ep in list(self._saved_epochs):
+            if ep in keep:
+                continue
+            path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{ep}")
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
+            self._saved_epochs.remove(ep)
 
     def load_checkpoint(self, path: str):
         tree = weights_io.load_checkpoint(path)
@@ -304,11 +363,23 @@ class Trainer:
                   f"vs {struct.num_leaves} expected) — params restored, "
                   f"optimizer state reset")
             opt_state = ref_opt
+        # EMA tree: restored only when this run tracks one (cfg.ema_decay);
+        # if the checkpoint predates EMA, re-seed from the restored params
+        # (the warmup ramp re-blends quickly).  A checkpointed EMA tree is
+        # dropped when this run doesn't track EMA — carrying it would cost
+        # one dead param-tree copy per donated step.
+        ema = None
+        if self.cfg.ema_decay is not None:
+            ema = tree.get("ema_params")
+            ema = (jax.tree.map(jnp.asarray, ema) if ema is not None
+                   else jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                     tree["params"]))
         self.state = steps_mod.TrainState(
             params=tree["params"],
             opt_state=opt_state,
             step=jnp.asarray(tree["step"]),
             seen=jnp.asarray(tree["seen"]),
+            ema=ema,
         )
 
 
