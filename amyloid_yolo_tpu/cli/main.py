@@ -323,9 +323,8 @@ def cmd_export(args) -> int:
 
     spec = yolov3_spec(num_classes=2)
     src = args.src
-    if os.path.isdir(src):  # orbax checkpoint dir
-        tree = W.load_checkpoint(src)
-        params = tree["params"] if "params" in tree else tree
+    if os.path.isdir(src.removesuffix("#ema")):  # orbax checkpoint dir
+        params = W.load_ckpt_params(src)  # accepts <dir>#ema
     else:
         params = W.load_pretrained(spec, src)
     dst = args.dst

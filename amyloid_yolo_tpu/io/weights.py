@@ -197,6 +197,24 @@ def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -
     return loaded
 
 
+def load_ckpt_params(path: str):
+    """Params tree of an orbax checkpoint directory, honoring the ``#ema``
+    suffix (select the EMA-of-weights tree saved by ``--ema_decay`` runs).
+    Shared by the gate / parity-study / export tools so every checkpoint
+    surface accepts ``<dir>#ema``."""
+    use_ema = path.endswith("#ema")
+    if use_ema:
+        path = path[: -len("#ema")]
+    tree = load_checkpoint(path)
+    if use_ema:
+        if not (isinstance(tree, dict) and tree.get("ema_params") is not None):
+            raise KeyError(
+                f"{path!r} has no 'ema_params' tree — it was saved by a run "
+                f"without --ema_decay")
+        return tree["ema_params"]
+    return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+
+
 # -- orbax native checkpoints ------------------------------------------------
 
 def save_checkpoint(path: str, tree) -> None:

@@ -170,6 +170,10 @@ def test_load_pretrained_ema_suffix(tiny_dataset, tmp_path):
 
     got_ema = weights_io.load_pretrained(spec, ck + "#ema")
     got_raw = weights_io.load_pretrained(spec, ck)
+    # the tools' shared helper resolves the suffix identically
+    got_ema2 = weights_io.load_ckpt_params(ck + "#ema")
+    for a, b in zip(jax.tree.leaves(got_ema), jax.tree.leaves(got_ema2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(got_ema), jax.tree.leaves(tr.state.ema)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # EMA and raw trees differ after training steps

@@ -78,8 +78,7 @@ def main() -> int:
                        else "model_r2")
     os.makedirs(args.out, exist_ok=True)
     spec = yolov3_spec(num_classes=2)
-    tree = W.load_checkpoint(args.ckpt)
-    params = tree["params"] if "params" in tree else tree
+    params = W.load_ckpt_params(args.ckpt)  # accepts <dir>#ema
 
     det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
                    precision=args.precision, int8_downsample=args.int8_ds,

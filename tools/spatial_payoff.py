@@ -74,8 +74,7 @@ def main() -> int:
     from amyloid_yolo_tpu.io import weights as W
 
     spec = yolov3_spec(num_classes=2)
-    tree = W.load_checkpoint(args.ckpt)
-    params = tree["params"] if "params" in tree else tree
+    params = W.load_ckpt_params(args.ckpt)  # accepts <dir>#ema
 
     with open(CONSENSUS, "rb") as fh:
         consensus = pickle.load(fh)
