@@ -26,8 +26,22 @@ import functools
 import jax
 
 
+# Memoize built eval fns: jax.jit caches by function identity, so a fresh
+# closure per evaluate() call would recompile the full model on EVERY eval
+# epoch (measured: ~50-100 s/epoch through the remote-compile relay — the
+# dominant cost of a training run, 20-50x the train step itself).  Keyed on
+# id(spec) with the spec held in the value so the id cannot be recycled.
+_EVAL_FN_CACHE: dict = {}
+
+
 def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
                  capacity: int = 128, compute_dtype=jnp.float32):
+    key = (id(spec), float(conf_thres), float(nms_thres), int(capacity),
+           jnp.dtype(compute_dtype).name)
+    hit = _EVAL_FN_CACHE.get(key)
+    if hit is not None and hit[0] is spec:
+        return hit[1]
+
     @functools.partial(jax.jit, static_argnames=("img_size",))
     def fwd(params, images_u8, img_size: int):
         x = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
@@ -36,6 +50,7 @@ def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
         return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
                                            capacity, return_count=True)
 
+    _EVAL_FN_CACHE[key] = (spec, fwd)
     return fwd
 
 
@@ -50,6 +65,7 @@ def evaluate(
     batch_size: int = 8,
     compute_dtype=jnp.float32,
     nms_capacity: int = 128,
+    dataset: Optional[ListDataset] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Returns (precision, recall, AP, f1, ap_class) or None (no detections).
 
@@ -58,8 +74,14 @@ def evaluate(
     ``UserWarning`` reports the image count: truncation depresses mAP
     silently otherwise.  Raise ``nms_capacity`` until the warning stops for
     exact parity on dense validation sets.
+
+    ``dataset`` lets a caller that evaluates repeatedly (the Trainer, every
+    epoch) reuse one ListDataset — with ``cache_images=True`` that skips
+    re-decoding the validation JPEGs each epoch.
     """
-    dataset = ListDataset(path, img_size=img_size, multiscale=False, augment=False)
+    if dataset is None:
+        dataset = ListDataset(path, img_size=img_size, multiscale=False,
+                              augment=False)
     fwd = make_eval_fn(spec, conf_thres, nms_thres, capacity=nms_capacity,
                        compute_dtype=compute_dtype)
 

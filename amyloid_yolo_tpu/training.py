@@ -184,6 +184,9 @@ class Trainer:
         if cfg.ema_decay is not None:
             self.best["map_ema"] = (-1.0, -1)
         self._saved_epochs: list = []
+        self._eval_dataset = None  # lazy; reused across eval epochs
+        self._save_thread = None   # in-flight async checkpoint write
+        self._save_error: Optional[BaseException] = None
 
     def train(self):
         cfg = self.cfg
@@ -229,6 +232,7 @@ class Trainer:
                     if cfg.verbose:
                         print(f"[epoch {epoch} batch {bi}] loss={host['loss']:.4f}")
             epoch_time = time.time() - t0
+            t_eval0 = time.time()
 
             if cfg.evaluation_interval and epoch % cfg.evaluation_interval == 0:
                 # Multi-host: every host evaluates identically (the eval
@@ -236,10 +240,24 @@ class Trainer:
                 # hosts in lockstep without rendezvous-timeout risk); only
                 # the main host logs/prints.  Params must be host-local
                 # copies — a local jit can't consume process-spanning arrays.
+                if self._eval_dataset is None:
+                    # one dataset for every eval epoch (decode cache), and
+                    # make_eval_fn memoizes the jitted program on self.spec —
+                    # a fresh program per epoch would recompile the model
+                    # every eval through the remote relay.  host_resize
+                    # follows the train pipeline (bit-identical nearest
+                    # gather): it cuts the per-eval host->device transfer
+                    # from full tiles to img_size² uint8.
+                    self._eval_dataset = ListDataset(
+                        self.valid_path, img_size=cfg.img_size,
+                        multiscale=False, augment=False,
+                        cache_images=cfg.cache_images,
+                        host_resize=cfg.host_resize)
                 out = evaluate(
                     self.spec, self._host_tree(self.state.params), self.valid_path,
                     iou_thres=0.5, conf_thres=0.5, nms_thres=0.5,
                     img_size=cfg.img_size, batch_size=8,
+                    dataset=self._eval_dataset,
                 )
                 if out is not None:
                     precision, recall, ap, f1, ap_class = out
@@ -271,6 +289,7 @@ class Trainer:
                         self.spec, self._host_tree(self.state.ema),
                         self.valid_path, iou_thres=0.5, conf_thres=0.5,
                         nms_thres=0.5, img_size=cfg.img_size, batch_size=8,
+                        dataset=self._eval_dataset,
                     )
                     if out_ema is not None:
                         _, _, ap_e, _, _ = out_ema
@@ -285,11 +304,20 @@ class Trainer:
                         print("---- mAP_ema not measured (no detections)")
 
             if epoch % cfg.checkpoint_interval == 0:
+                t_save0 = time.time()
                 self.save_checkpoint(epoch)
+                if cfg.verbose and self.is_main:
+                    # wall attribution: train step loop / eval epochs /
+                    # checkpoint fetch+dispatch (async write overlaps next
+                    # epoch on single host)
+                    print(f"[epoch {epoch} wall] train {epoch_time:.1f}s "
+                          f"eval {t_save0 - t_eval0:.1f}s "
+                          f"save-dispatch {time.time() - t_save0:.1f}s")
         if cfg.epochs and (cfg.epochs - 1) % cfg.checkpoint_interval != 0:
             # the reference's modulo rule (train.py:205) never saves the
             # final epoch unless it lands on the interval; always keep it
             self.save_checkpoint(cfg.epochs - 1)
+        self.join_pending_save()
         if self.is_main:
             print("Best mAP: {} @ epoch: {}".format(*self.best["map"]))
             print("Best Cored mAP: {} @ epoch: {}".format(*self.best["Cored"]))
@@ -316,6 +344,30 @@ class Trainer:
         # payload-mismatch abort).  Orbax itself writes replicated/np data
         # from the primary host only.
         path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{epoch}")
+        if self._dist is None or self.nproc == 1:
+            # Single-host: fetch to host numpy synchronously (the state is
+            # DONATED into the next step, so device arrays cannot outlive
+            # this epoch), then write the ~1 GB orbax tree on a worker
+            # thread overlapped with the next epoch's training.
+            self.join_pending_save()
+            tree = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "seen": self.state.seen,
+            }
+            if self.state.ema is not None:
+                tree["ema_params"] = self.state.ema
+            tree = jax.device_get(tree)  # one batched fetch of every leaf
+            import threading
+
+            self._save_thread = threading.Thread(
+                target=self._write_checkpoint, args=(path, tree, epoch),
+                name=f"ckpt-save-{epoch}", daemon=False)
+            self._save_thread.start()
+            return
+        # Multi-host: keep the save fully synchronous — orbax's cross-host
+        # barriers must not race the next epoch's collectives.
         tree = {
             "params": self._host_tree(self.state.params),
             "opt_state": self._host_tree(self.state.opt_state),
@@ -327,6 +379,25 @@ class Trainer:
         weights_io.save_checkpoint(path, tree)
         self._saved_epochs.append(epoch)
         self._prune_checkpoints()
+
+    def _write_checkpoint(self, path: str, tree, epoch: int):
+        try:
+            weights_io.save_checkpoint(path, tree)
+            self._saved_epochs.append(epoch)
+            self._prune_checkpoints()
+        except BaseException as e:  # surfaced at the next join
+            self._save_error = e
+
+    def join_pending_save(self):
+        """Block until the in-flight async checkpoint write (if any) lands;
+        re-raise its failure so a disk error cannot pass silently."""
+        t = self._save_thread
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            err, self._save_error = self._save_error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def _prune_checkpoints(self):
         """Retention (cfg.keep_checkpoints): drop saved epoch checkpoints
