@@ -136,7 +136,7 @@ def calculate_plaque_counts_per_wsi(
             if not folder.files:
                 continue
             for paths, batch, n_valid in folder.iter_batches(bs):
-                ragged = detector.detect_batch_ragged(batch)
+                ragged = detector.detect_batch_ragged(batch, n_valid=n_valid)
                 for path, dets in list(zip(paths, ragged))[:n_valid]:
                     tile_counts[wsi].setdefault(path, {"Cored": 0, "CAA": 0})
                     if dets is None:
@@ -344,7 +344,7 @@ def speed_check(
                 if item is None:
                     break
                 paths, batch, n_valid = item
-                ragged = detector.detect_batch_ragged(batch)
+                ragged = detector.detect_batch_ragged(batch, n_valid=n_valid)
                 if include_merge_and_filter:
                     for path, dets in list(zip(paths, ragged))[:n_valid]:
                         if dets is None:

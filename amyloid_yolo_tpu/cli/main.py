@@ -39,6 +39,16 @@ def _fast_path_kwargs(args) -> dict:
     (conservative: backbone-prefix int8) or ``int8_full`` — the bench.py
     headline stack (whole-graph int8, bf16 stem/head convs, s2d stem)."""
     if not _truthy(getattr(args, "fast_path", False)):
+        ignored = [f"--{n}" for n in ("precision", "calib_percentile")
+                   if getattr(args, n, None) is not None]
+        if ignored:
+            import warnings
+
+            warnings.warn(
+                f"{' and '.join(ignored)} only take effect with "
+                f"--fast_path True — running the box-for-box parity "
+                f"(bf16, amax) pipeline instead.", UserWarning,
+                stacklevel=2)
         return {}
     precision = getattr(args, "precision", None) or "int8_early"
     kw = {"precision": precision, "lazy_decode": True, "approx_topk": True}
@@ -223,30 +233,20 @@ def cmd_serve(args) -> int:
           f"(batch {server.executor.batch_size}, precision {det.precision})",
           flush=True)
     if _truthy(args.warmup):
-        calib = None
         if det.precision.startswith("int8") and args.calibration_folder:
-            import numpy as np
-
             from ..io.datasets import ImageFolder
 
             # host_resize detectors calibrate on model-size input (the same
-            # frame inference sees); gather ~CALIB_TILES tiles, not one
-            # batch — 8-tile calibration cost int8_full 2.7 mAP pts
-            # (tools/int8_calib_study.py, BENCH.md "int8 calibration")
+            # frame inference sees); the shared folder calibrator gathers
+            # ~CALIB_TILES tiles, not one batch — 8-tile calibration cost
+            # int8_full 2.7 mAP pts (tools/int8_calib_study.py, BENCH.md
+            # "int8 calibration") — at the executor's batch size, so the
+            # compiled probe shape IS the serving shape.
             folder = ImageFolder(
                 args.calibration_folder, tile_size=det.tile_size,
                 resize_to=det.model_size if det.host_resize else None)
-            chunks, got = [], 0
-            for _p, batch, n_valid in folder.iter_batches(
-                    server.executor.batch_size):
-                take = min(n_valid, det.CALIB_TILES - got)
-                chunks.append(np.asarray(batch)[:take])
-                got += take
-                if got >= det.CALIB_TILES:
-                    break
-            if chunks:
-                calib = np.concatenate(chunks, axis=0)
-        if server.warmup(calib):
+            det._calibrate_from_folder(folder, server.executor.batch_size)
+        if server.warmup():
             print("pipeline compiled; ready", flush=True)
         else:
             print("warmup skipped (uncalibrated int8 — pass "
@@ -468,9 +468,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["int8_early", "int8_full"],
                    help="int8 flavor for --fast_path (default int8_early)")
     d.add_argument("--calib_percentile", type=float, default=None,
-                   help="int8 activation-scale statistic: omit = amax; "
-                        "e.g. 99.9 = that percentile of |acts| "
-                        "(outliers clip; tools/int8_calib_study.py)")
+                   help="int8 activation-scale statistic for --fast_path: "
+                        "omit = amax; e.g. 99.9 = that percentile of "
+                        "|acts| (outliers clip; tools/int8_calib_study.py)")
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
@@ -514,9 +514,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["int8_early", "int8_full"],
                     help="int8 flavor for --fast_path (default int8_early)")
     sv.add_argument("--calib_percentile", type=float, default=None,
-                   help="int8 activation-scale statistic: omit = amax; "
-                        "e.g. 99.9 = that percentile of |acts| "
-                        "(outliers clip; tools/int8_calib_study.py)")
+                   help="int8 activation-scale statistic for --fast_path: "
+                        "omit = amax; e.g. 99.9 = that percentile of "
+                        "|acts| (outliers clip; tools/int8_calib_study.py)")
     sv.add_argument("--fast_path", type=str, default="False",
                     help="gated non-parity fast stack (int8 + lazy decode + "
                          "approx top-k)")
@@ -567,9 +567,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["int8_early", "int8_full"],
                    help="int8 flavor for --fast_path (default int8_early)")
     s.add_argument("--calib_percentile", type=float, default=None,
-                   help="int8 activation-scale statistic: omit = amax; "
-                        "e.g. 99.9 = that percentile of |acts| "
-                        "(outliers clip; tools/int8_calib_study.py)")
+                   help="int8 activation-scale statistic for --fast_path: "
+                        "omit = amax; e.g. 99.9 = that percentile of "
+                        "|acts| (outliers clip; tools/int8_calib_study.py)")
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")

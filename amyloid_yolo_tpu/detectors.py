@@ -324,6 +324,13 @@ class Detector:
                 det.calibrate(batch, accumulate=True, rebuild=False)
             det.calibrate(last_batch, accumulate=True)   # compiles once
 
+        With ``calib_percentile < 100`` the accumulated statistic is the
+        MAX of the per-batch percentiles — an upper bound on (not equal
+        to) the percentile over the union of all batches.  Exact union
+        quantiles would need every activation tensor held at once; the
+        max-combine keeps calibration streaming and errs toward amax,
+        i.e. toward the (default, gated) conservative statistic.
+
         Degenerate scales (a layer whose amax is ~0 on the calibration
         batch, e.g. an all-black border tile) raise a ``UserWarning`` —
         running with them silently mis-scales every real batch that
@@ -376,10 +383,14 @@ class Detector:
             take = min(n_valid, self.CALIB_TILES - got)
             c = np.asarray(batch)[:take]
             if len(c) < batch_size:
-                # pad by repeating the last tile: duplicate rows leave the
-                # amax unchanged, and ONE probe shape means ONE compile
-                # (each distinct shape is a multi-minute remote compile)
-                pad = np.repeat(c[-1:], batch_size - len(c), axis=0)
+                # pad by cycling the chunk's REAL tiles: ONE probe shape
+                # means ONE compile (each distinct shape is a multi-minute
+                # remote compile).  Cycling keeps duplicates ~uniform, so
+                # the amax is unchanged and a percentile statistic
+                # (calib_percentile < 100) sees every real tile with near-
+                # equal weight — repeating only the LAST tile would weight
+                # it batch/1 in the quantile.
+                pad = c[np.arange(batch_size - len(c)) % len(c)]
                 c = np.concatenate([c, pad], axis=0)
             chunks.append(c)
             got += take
@@ -435,10 +446,16 @@ class Detector:
 
     # -- host-facing conveniences -------------------------------------------
 
-    def detect_batch_ragged(self, tiles_u8: np.ndarray) -> List[Optional[np.ndarray]]:
+    def detect_batch_ragged(self, tiles_u8: np.ndarray,
+                            n_valid: Optional[int] = None,
+                            ) -> List[Optional[np.ndarray]]:
+        """``n_valid``: how many leading rows are real images — callers
+        that pad partial batches (ImageFolder tail, the serving executor)
+        must pass it so padding duplicates don't inflate the pool-overflow
+        counters (``overflow_images``/``images_seen``)."""
         dets, valid = self(tiles_u8)
         out = nms_ops.dense_to_ragged(dets, valid)  # sync point
-        self.account_overflow()
+        self.account_overflow(n_valid)
         return out
 
     def detect_folder(

@@ -178,15 +178,10 @@ def load_pretrained(spec: GraphSpec, path: str, params: Optional[Dict] = None) -
         # orbax checkpoint directory (a Trainer save): params-only restore —
         # matches the reference's --pretrained_weights semantics, which
         # reload weights but never optimizer state (train.py:64-68).  Use
-        # --resume instead to also restore optimizer state.
-        tree = load_checkpoint(path)
-        if use_ema:
-            if not (isinstance(tree, dict) and tree.get("ema_params") is not None):
-                raise KeyError(
-                    f"{path!r} has no 'ema_params' tree — it was saved by a "
-                    f"run without --ema_decay")
-            return tree["ema_params"]
-        return tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+        # --resume instead to also restore optimizer state.  The #ema
+        # selection lives in ONE place (load_ckpt_params) so every
+        # checkpoint surface keeps identical semantics.
+        return load_ckpt_params(path + ("#ema" if use_ema else ""))
     if use_ema:
         raise ValueError(
             f"'#ema' selects the EMA tree of an orbax checkpoint directory; "

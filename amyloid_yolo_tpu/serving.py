@@ -153,6 +153,14 @@ class BatchingExecutor:
         with self._lock:
             return len(self._queue)
 
+    def record_shed(self) -> None:
+        """Count a request shed OUTSIDE :meth:`submit` (the handler's
+        early header-shed path).  ``n_shed += 1`` from a request thread
+        would race the locked increment in :meth:`submit` and lose
+        counts under exactly the overload the counter exists to report."""
+        with self._lock:
+            self.n_shed += 1
+
     def submit(self, tile: np.ndarray, timeout: float = 120.0,
                shed: bool = True) -> Optional[np.ndarray]:
         """Block until this tile's detections (ragged (N,7) or None) exist.
@@ -209,7 +217,8 @@ class BatchingExecutor:
                 tiles = [p.tile for p in batch]
                 while len(tiles) < self.batch_size:
                     tiles.append(tiles[-1])
-                ragged = self.detector.detect_batch_ragged(np.stack(tiles))
+                ragged = self.detector.detect_batch_ragged(
+                    np.stack(tiles), n_valid=len(batch))
                 self.n_dispatches += 1
                 for p, det in zip(batch, ragged):
                     p.result = det
@@ -488,7 +497,7 @@ class DetectionServer:
                     # fills between here and enqueue.
                     ex = server.executor
                     if ex.queue_depth() >= ex.max_queue:
-                        ex.n_shed += 1
+                        ex.record_shed()
                         self._send(503, {"error": "queue full; retry later"},
                                    extra_headers={"Retry-After": "1"},
                                    close=True)

@@ -83,3 +83,16 @@ def test_resolve_batch_size_auto():
     assert resolve_batch_size("auto", 3) == 16
     assert resolve_batch_size("8", 1000) == 8
     assert resolve_batch_size(16, 2) == 16
+
+
+def test_fast_path_kwargs_warns_on_ignored_flags():
+    """--precision / --calib_percentile without --fast_path True must warn
+    (they only configure the gated fast stack) instead of being silently
+    dropped — a user asking for int8 must not unknowingly run bf16."""
+    from amyloid_yolo_tpu.cli.main import _fast_path_kwargs
+
+    p = build_parser()
+    args = p.parse_args(["detect", "--precision", "int8_full",
+                         "--calib_percentile", "99.9"])
+    with pytest.warns(UserWarning, match="only take effect"):
+        assert _fast_path_kwargs(args) == {}

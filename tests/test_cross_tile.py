@@ -119,7 +119,7 @@ def test_sweep_cross_tile_end_to_end(tmp_path):
     class StubDetector:
         tile_size = ts
 
-        def detect_batch_ragged(self, batch):
+        def detect_batch_ragged(self, batch, n_valid=None):
             out = []
             for im in batch:
                 if im[..., 0].mean() < 100:   # left tile: box at right edge

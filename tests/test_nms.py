@@ -230,3 +230,26 @@ def test_detector_overflow_accounting(rng):
         assert det.max_candidates_seen > det.nms_pool
         counts[lazy] = det.max_candidates_seen
     assert counts[False] == counts[True]        # same observable, both paths
+
+
+def test_overflow_accounting_ignores_padding(rng):
+    """Padded tail rows (ImageFolder tail, the serving executor repeat the
+    last real tile to keep ONE compiled batch shape) must NOT inflate the
+    pool-overflow counters — detect_batch_ragged takes n_valid for exactly
+    that; without it one dense tile in a batch-16 dispatch would read as
+    16 overflow images in /stats and the sweep warning."""
+    import jax
+    from amyloid_yolo_tpu.detectors import Detector
+    from amyloid_yolo_tpu.models import darknet
+    from minispec import mini_spec
+
+    spec = mini_spec(num_classes=2, img_size=64)
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    tile = (rng.rand(1, 64, 64, 3) * 255).astype(np.uint8)
+    batch = np.repeat(tile, 4, axis=0)      # 1 real + 3 pad duplicates
+    det = Detector(spec, params, conf_thres=0.0, nms_thres=0.4,
+                   model_size=64, tile_size=64, capacity=8,
+                   compute_dtype=jnp.float32, host_resize=True)
+    det.detect_batch_ragged(batch, n_valid=1)
+    assert det.images_seen == 1             # not 4
+    assert det.overflow_images == 1         # conf 0: the real row overflows

@@ -245,7 +245,7 @@ def test_executor_survives_device_error(rng):
         def __init__(self):
             self.calls = 0
 
-        def detect_batch_ragged(self, batch):
+        def detect_batch_ragged(self, batch, n_valid=None):
             self.calls += 1
             if self.calls == 1:
                 raise RuntimeError("injected device failure")
@@ -300,7 +300,7 @@ def test_timed_out_request_is_cancelled_not_dispatched():
     entered = threading.Event()
 
     class SlowDet:
-        def detect_batch_ragged(self, batch):
+        def detect_batch_ragged(self, batch, n_valid=None):
             entered.set()
             release.wait(30)
             return [None] * len(batch)
@@ -342,7 +342,7 @@ def test_executor_sheds_on_bounded_queue():
     entered = threading.Event()
 
     class SlowDet:
-        def detect_batch_ragged(self, batch):
+        def detect_batch_ragged(self, batch, n_valid=None):
             entered.set()
             release.wait(30)
             return [None] * len(batch)

@@ -148,7 +148,7 @@ def test_sweep_background_skip(tmp_path):
         tile_size = side
         overflow_images = 0
 
-        def detect_batch_ragged(self, batch):
+        def detect_batch_ragged(self, batch, n_valid=None):
             out = []
             for im in batch:
                 # one fake Cored detection per visibly-stained tile
