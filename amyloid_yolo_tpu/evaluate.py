@@ -31,7 +31,11 @@ import jax
 # epoch (measured: ~50-100 s/epoch through the remote-compile relay — the
 # dominant cost of a training run, 20-50x the train step itself).  Keyed on
 # id(spec) with the spec held in the value so the id cannot be recycled.
+# LRU-bounded: each entry pins its spec AND its compiled XLA programs for
+# process lifetime, so a long-lived process sweeping many configs (test
+# suites, nms_capacity sweeps) must not accumulate dead executables.
 _EVAL_FN_CACHE: dict = {}
+_EVAL_FN_CACHE_MAX = 8
 
 
 def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
@@ -40,6 +44,7 @@ def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
            jnp.dtype(compute_dtype).name)
     hit = _EVAL_FN_CACHE.get(key)
     if hit is not None and hit[0] is spec:
+        _EVAL_FN_CACHE[key] = _EVAL_FN_CACHE.pop(key)  # LRU touch
         return hit[1]
 
     @functools.partial(jax.jit, static_argnames=("img_size",))
@@ -50,6 +55,8 @@ def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
         return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
                                            capacity, return_count=True)
 
+    while len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
+        _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
     _EVAL_FN_CACHE[key] = (spec, fwd)
     return fwd
 

@@ -382,6 +382,28 @@ class ListDataset:
             self._cache[index] = item
         return item
 
+    def probe_native_side(self) -> Optional[int]:
+        """Set :attr:`native_side` from the first readable image HEADER
+        (PIL reads dimensions without decoding pixels — ~µs/file).
+
+        Distributed trainers (``host_resize=False``) call this so the
+        all-samples-failed collate fallback is derived from the dataset
+        itself rather than ``img_size`` — a host whose whole local batch
+        fails to decode then still emits a batch with the other hosts'
+        native padded-square side instead of aborting the collective with
+        a shape mismatch."""
+        if self.native_side is None:
+            from PIL import Image
+
+            for p in self.img_files:
+                try:
+                    with Image.open(p) as im:
+                        self.native_side = int(max(im.size))
+                    break
+                except Exception:
+                    continue
+        return self.native_side
+
     def size_for_count(self, count: int) -> int:
         """Multiscale size for global batch ``count`` (1-based, cumulative
         across epochs) — a PURE function, so the schedule is identical on

@@ -28,6 +28,24 @@ from ..graphspec import GraphSpec
 from ..models import darknet, heads
 
 
+# Memoize the jitted programs: jax.jit caches by function identity, so a
+# fresh closure per call would recompile the full native-resolution model
+# on EVERY batch (the same defect evaluate.make_eval_fn memoizes away —
+# a multi-minute remote compile per sweep batch here).  Keyed on id(spec)/
+# id(mesh) with both held in the value so the ids cannot be recycled.
+_FN_CACHE: dict = {}
+
+
+def _memoized(kind: str, spec, mesh, key_tail, build):
+    key = (kind, id(spec), id(mesh)) + key_tail
+    hit = _FN_CACHE.get(key)
+    if hit is not None and hit[0] is spec and hit[1] is mesh:
+        return hit[2]
+    fn = build()
+    _FN_CACHE[key] = (spec, mesh, fn)
+    return fn
+
+
 def make_spatial_mesh(n_sp: int, n_dp: int = 1) -> Mesh:
     devs = jax.devices()
     need = n_sp * n_dp
@@ -55,14 +73,20 @@ def spatial_forward(
     img_dim = img_dim or tiles.shape[1]
     x_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
     rep = NamedSharding(mesh, P())
+    folded = _is_folded(params)
 
-    @jax.jit
-    def fwd(p, x):
-        maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
-            if _is_folded(p) else darknet.apply(p, spec, x, compute_dtype=compute_dtype)[0]
-        out = heads.decode_all(list(maps), spec, img_dim)
-        return jax.lax.with_sharding_constraint(out, rep)
+    def build():
+        @jax.jit
+        def fwd(p, x):
+            maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
+                if folded else darknet.apply(p, spec, x, compute_dtype=compute_dtype)[0]
+            out = heads.decode_all(list(maps), spec, img_dim)
+            return jax.lax.with_sharding_constraint(out, rep)
+        return fwd
 
+    fwd = _memoized(
+        "forward", spec, mesh,
+        (int(img_dim), jnp.dtype(compute_dtype).name, folded), build)
     x = jax.device_put(tiles, x_sharding)
     p = jax.device_put(params, rep)
     return fwd(p, x)
@@ -98,18 +122,25 @@ def spatial_detect(
     img_dim = int(tiles_u8.shape[1])
     x_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
     rep = NamedSharding(mesh, P())
+    folded = _is_folded(params)
 
-    @jax.jit
-    def fwd(p, x_u8):
-        x = x_u8.astype(jnp.float32) / 255.0
-        maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
-            if _is_folded(p) else darknet.apply(p, spec, x,
-                                                compute_dtype=compute_dtype)[0]
-        pred = heads.decode_all(list(maps), spec, img_dim)
-        pred = jax.lax.with_sharding_constraint(pred, rep)
-        return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
-                                           capacity, return_count=True)
+    def build():
+        @jax.jit
+        def fwd(p, x_u8):
+            x = x_u8.astype(jnp.float32) / 255.0
+            maps = darknet.apply_folded(p, spec, x, compute_dtype=compute_dtype) \
+                if folded else darknet.apply(p, spec, x,
+                                             compute_dtype=compute_dtype)[0]
+            pred = heads.decode_all(list(maps), spec, img_dim)
+            pred = jax.lax.with_sharding_constraint(pred, rep)
+            return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
+                                               capacity, return_count=True)
+        return fwd
 
+    fwd = _memoized(
+        "detect", spec, mesh,
+        (img_dim, float(conf_thres), float(nms_thres), int(capacity),
+         jnp.dtype(compute_dtype).name, folded), build)
     x = jax.device_put(tiles_u8, x_sharding)
     p = jax.device_put(params, rep)
     return fwd(p, x)

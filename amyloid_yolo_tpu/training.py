@@ -187,6 +187,7 @@ class Trainer:
         self._eval_dataset = None  # lazy; reused across eval epochs
         self._save_thread = None   # in-flight async checkpoint write
         self._save_error: Optional[BaseException] = None
+        self._snap_fn = None       # jitted on-device state copy (lazy)
 
     def train(self):
         cfg = self.cfg
@@ -203,6 +204,12 @@ class Trainer:
         run_state = (steps_mod.init_accum_state(self.state)
                      if self.accum > 1 else self.state)
         shard = (self.pid, self.nproc) if self.nproc > 1 else None
+        if shard is not None and not cfg.host_resize:
+            # host-invariant collate fallback shape: without it a host
+            # whose entire local batch fails to read falls back to
+            # img_size, mismatching the other hosts' native-side batches
+            # and aborting the collective (datasets.probe_native_side)
+            dataset.probe_native_side()
         for epoch in range(cfg.epochs):
             t0 = time.time()
             for bi, batch in enumerate(
@@ -345,10 +352,15 @@ class Trainer:
         # from the primary host only.
         path = os.path.join(self.cfg.checkpoint_dir, f"yolov3_ckpt_{epoch}")
         if self._dist is None or self.nproc == 1:
-            # Single-host: fetch to host numpy synchronously (the state is
-            # DONATED into the next step, so device arrays cannot outlive
-            # this epoch), then write the ~1 GB orbax tree on a worker
-            # thread overlapped with the next epoch's training.
+            # Single-host: snapshot the state ON DEVICE (one jitted
+            # whole-tree copy, an HBM pass: ~ms), then move BOTH the
+            # host fetch and the orbax write to a worker thread
+            # overlapped with the next epoch.  The live state is DONATED
+            # into the next train step, so the worker must never read its
+            # buffers — the snapshot's buffers belong to the pending save
+            # alone.  (Before the snapshot, the ~1 GB device_get sat on
+            # the epoch path: ~30 s/epoch through the ~35 MB/s dev-harness
+            # tunnel, the largest term of the inter-epoch gap.)
             self.join_pending_save()
             tree = {
                 "params": self.state.params,
@@ -358,7 +370,15 @@ class Trainer:
             }
             if self.state.ema is not None:
                 tree["ema_params"] = self.state.ema
-            tree = jax.device_get(tree)  # one batched fetch of every leaf
+            if self._snap_fn is None:
+                # x * 1 of matching dtype: a real jaxpr op (not jax's
+                # passthrough short-circuit, which would return the
+                # donated input buffers), bit-exact incl. -0.0 (unlike
+                # x + 0), and XLA's copy-insertion guarantees outputs
+                # never alias non-donated inputs.
+                self._snap_fn = jax.jit(lambda t: jax.tree.map(
+                    lambda x: x * jnp.ones((), x.dtype), t))
+            tree = self._snap_fn(tree)
             import threading
 
             self._save_thread = threading.Thread(
@@ -382,6 +402,9 @@ class Trainer:
 
     def _write_checkpoint(self, path: str, tree, epoch: int):
         try:
+            # fetch the device snapshot here, off the epoch path (JAX
+            # transfers are thread-safe; the snapshot is not donated)
+            tree = jax.device_get(tree)
             weights_io.save_checkpoint(path, tree)
             self._saved_epochs.append(epoch)
             self._prune_checkpoints()

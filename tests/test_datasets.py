@@ -276,3 +276,16 @@ def test_collate_fixed_size_fallback_side(data_dir):
     _ = ds2[0]
     batch2 = ds2.collate([None], fixed_size=True)
     assert batch2["images"].shape == (1, 256, 256, 3)
+
+
+def test_probe_native_side(data_dir):
+    """probe_native_side header-reads the first image (no pixel decode) so
+    the distributed Trainer's all-samples-failed collate fallback uses the
+    dataset's real padded-square side, not img_size."""
+    ds = ListDataset(str(data_dir / "train.txt"), img_size=416,
+                     multiscale=False)
+    assert ds.native_side is None
+    assert ds.probe_native_side() == 256
+    assert ds.native_side == 256
+    batch = ds.collate([None], fixed_size=True)   # nothing decoded yet
+    assert batch["images"].shape == (1, 256, 256, 3)

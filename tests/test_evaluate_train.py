@@ -75,3 +75,18 @@ def test_trainer_smoke(tiny_dataset, tmp_path):
     state2 = tr2.train()
     assert int(state2.step) == 2
     assert np.isfinite(np.asarray(state2.params["conv_0"]["w"])).all()
+
+
+def test_eval_fn_cache_memoized_and_bounded():
+    """make_eval_fn returns the SAME jitted program for identical keys (no
+    per-epoch recompile) and evicts LRU entries past _EVAL_FN_CACHE_MAX so
+    a config-sweeping process doesn't pin dead executables forever."""
+    from amyloid_yolo_tpu import evaluate as ev
+
+    spec = mini_spec(num_classes=2, img_size=64)
+    ev._EVAL_FN_CACHE.clear()
+    f1 = ev.make_eval_fn(spec, 0.5, 0.5, capacity=8)
+    assert ev.make_eval_fn(spec, 0.5, 0.5, capacity=8) is f1
+    for cap in range(9, 10 + ev._EVAL_FN_CACHE_MAX):
+        ev.make_eval_fn(spec, 0.5, 0.5, capacity=cap)
+    assert len(ev._EVAL_FN_CACHE) <= ev._EVAL_FN_CACHE_MAX

@@ -58,3 +58,26 @@ def test_spatial_detect_full_pipeline(rng):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_fns_are_memoized(rng):
+    """jax.jit caches by FUNCTION IDENTITY: spatial_forward/spatial_detect
+    must reuse one jitted closure per (spec, mesh, config) or every sweep
+    batch recompiles the full native-resolution model (multi-minute on the
+    remote-compile relay — the defect evaluate.make_eval_fn memoizes away)."""
+    from amyloid_yolo_tpu.parallel import spatial
+
+    spec = mini_spec(num_classes=2, img_size=64)
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    folded = darknet.fold_batchnorm(params, spec)
+    mesh = make_spatial_mesh(n_sp=4, n_dp=2)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+
+    spatial._FN_CACHE.clear()
+    a = spatial_forward(folded, spec, jnp.asarray(x), mesh)
+    assert len(spatial._FN_CACHE) == 1
+    fn = next(iter(spatial._FN_CACHE.values()))[2]
+    b = spatial_forward(folded, spec, jnp.asarray(x), mesh)
+    assert len(spatial._FN_CACHE) == 1
+    assert next(iter(spatial._FN_CACHE.values()))[2] is fn
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
