@@ -101,6 +101,7 @@ def cmd_train(args) -> int:
                   else _truthy(args.s2d_stem)),
         image_layout=args.image_layout,
         ema_decay=args.ema_decay,
+        eval_nms_capacity=args.eval_nms_capacity,
         keep_checkpoints=args.keep_checkpoints,
         distributed=_truthy(args.distributed),
         coordinator_address=args.coordinator_address,
@@ -416,6 +417,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoints plus every tracked best epoch "
                         "(default: keep all, the reference behavior — "
                         "~650 MB per epoch for the full model)")
+    t.add_argument("--eval_nms_capacity", type=int, default=128,
+                   help="NMS candidate pool for the in-training eval; "
+                        "raise when the per-epoch overflow warning fires "
+                        "(early epochs routinely exceed 128 at conf .5)")
     t.add_argument("--ema_decay", type=float, default=None,
                    help="track an exponential moving average of the weights "
                         "(e.g. 0.999) and evaluate it alongside the raw "

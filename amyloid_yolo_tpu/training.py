@@ -69,6 +69,11 @@ class TrainConfig:
     process_id: Optional[int] = None
     verbose: bool = False
     max_batches_per_epoch: Optional[int] = None  # for smoke runs
+    eval_nms_capacity: int = 128  # NMS candidate pool for the in-training
+    #   eval (evaluate() warns when any image's conf-passing candidates
+    #   exceed it — early epochs routinely do at conf .5; raise this to
+    #   make in-run mAP comparable to the reference's uncapped NMS at the
+    #   cost of a larger compiled eval program)
     cache_images: bool = False  # RAM-cache decoded images across epochs
     host_resize: bool = False   # bit-identical nearest resize before transfer
     s2d_stem: Optional[bool] = None  # space-to-depth training stem; None =
@@ -264,6 +269,7 @@ class Trainer:
                     self.spec, self._host_tree(self.state.params), self.valid_path,
                     iou_thres=0.5, conf_thres=0.5, nms_thres=0.5,
                     img_size=cfg.img_size, batch_size=8,
+                    nms_capacity=cfg.eval_nms_capacity,
                     dataset=self._eval_dataset,
                 )
                 if out is not None:
@@ -296,6 +302,7 @@ class Trainer:
                         self.spec, self._host_tree(self.state.ema),
                         self.valid_path, iou_thres=0.5, conf_thres=0.5,
                         nms_thres=0.5, img_size=cfg.img_size, batch_size=8,
+                        nms_capacity=cfg.eval_nms_capacity,
                         dataset=self._eval_dataset,
                     )
                     if out_ema is not None:

@@ -90,3 +90,33 @@ def test_eval_fn_cache_memoized_and_bounded():
     for cap in range(9, 10 + ev._EVAL_FN_CACHE_MAX):
         ev.make_eval_fn(spec, 0.5, 0.5, capacity=cap)
     assert len(ev._EVAL_FN_CACHE) <= ev._EVAL_FN_CACHE_MAX
+
+
+def test_eval_nms_capacity_flows_through(tiny_dataset, tmp_path, monkeypatch):
+    """TrainConfig.eval_nms_capacity must reach evaluate() — the in-run
+    overflow warning ("more than nms_capacity conf-passing candidates")
+    is only actionable if the knob it names actually exists on the
+    trainer surface."""
+    from amyloid_yolo_tpu import training as training_mod
+
+    seen = []
+    real_evaluate = training_mod.evaluate
+
+    def spy(*a, **kw):
+        seen.append(kw.get("nms_capacity"))
+        return real_evaluate(*a, **kw)
+
+    monkeypatch.setattr(training_mod, "evaluate", spy)
+    cfg = TrainConfig(
+        data_config=str(tiny_dataset / "custom.data"),
+        epochs=1, batch_size=2, gradient_accumulations=1, img_size=64,
+        multiscale=False, augment=False, checkpoint_dir=str(tmp_path / "ck"),
+        logdir=str(tmp_path / "logs"), evaluation_interval=1,
+        max_batches_per_epoch=1, eval_nms_capacity=37,
+    )
+    Trainer(cfg, spec=mini_spec(num_classes=2, img_size=64)).train()
+    assert seen == [37]
+
+    from amyloid_yolo_tpu.cli.main import build_parser
+    args = build_parser().parse_args(["train", "--eval_nms_capacity", "256"])
+    assert args.eval_nms_capacity == 256
