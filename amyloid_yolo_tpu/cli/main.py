@@ -475,7 +475,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--calib_percentile", type=float, default=None,
                    help="int8 activation-scale statistic for --fast_path: "
                         "omit = amax; e.g. 99.9 = that percentile of "
-                        "|acts| (outliers clip; tools/int8_calib_study.py)")
+                        "|acts|, computed per probe batch and max-"
+                        "combined (streaming upper bound, errs toward "
+                        "amax; tools/int8_calib_study.py)")
     d.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")
@@ -521,7 +523,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--calib_percentile", type=float, default=None,
                    help="int8 activation-scale statistic for --fast_path: "
                         "omit = amax; e.g. 99.9 = that percentile of "
-                        "|acts| (outliers clip; tools/int8_calib_study.py)")
+                        "|acts|, computed per probe batch and max-"
+                        "combined (streaming upper bound, errs toward "
+                        "amax; tools/int8_calib_study.py)")
     sv.add_argument("--fast_path", type=str, default="False",
                     help="gated non-parity fast stack (int8 + lazy decode + "
                          "approx top-k)")
@@ -574,7 +578,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--calib_percentile", type=float, default=None,
                    help="int8 activation-scale statistic for --fast_path: "
                         "omit = amax; e.g. 99.9 = that percentile of "
-                        "|acts| (outliers clip; tools/int8_calib_study.py)")
+                        "|acts|, computed per probe batch and max-"
+                        "combined (streaming upper bound, errs toward "
+                        "amax; tools/int8_calib_study.py)")
     s.add_argument("--fast_path", type=str, default="False",
                    help="int8 early backbone + lazy decode + approx top-k "
                         "(gated fast stack; ~40%% faster, non-parity)")

@@ -21,19 +21,17 @@ from .ops import nms as nms_ops
 from .ops.boxes import xywh2xyxy_np
 from .ops.metrics import ap_per_class, get_batch_statistics
 from .ops.preprocess import resize_nearest
+from .utils.memo import memoized_program
 
 import functools
 import jax
 
 
-# Memoize built eval fns: jax.jit caches by function identity, so a fresh
-# closure per evaluate() call would recompile the full model on EVERY eval
-# epoch (measured: ~50-100 s/epoch through the remote-compile relay — the
-# dominant cost of a training run, 20-50x the train step itself).  Keyed on
-# id(spec) with the spec held in the value so the id cannot be recycled.
-# LRU-bounded: each entry pins its spec AND its compiled XLA programs for
-# process lifetime, so a long-lived process sweeping many configs (test
-# suites, nms_capacity sweeps) must not accumulate dead executables.
+# Memoize built eval fns: a fresh closure per evaluate() call would
+# recompile the full model on EVERY eval epoch (measured: ~50-100 s/epoch
+# through the remote-compile relay — the dominant cost of a training run,
+# 20-50x the train step itself).  Policy lives in utils.memo (shared with
+# parallel.spatial).
 _EVAL_FN_CACHE: dict = {}
 _EVAL_FN_CACHE_MAX = 8
 
@@ -42,23 +40,19 @@ def make_eval_fn(spec: GraphSpec, conf_thres: float, nms_thres: float,
                  capacity: int = 128, compute_dtype=jnp.float32):
     key = (id(spec), float(conf_thres), float(nms_thres), int(capacity),
            jnp.dtype(compute_dtype).name)
-    hit = _EVAL_FN_CACHE.get(key)
-    if hit is not None and hit[0] is spec:
-        _EVAL_FN_CACHE[key] = _EVAL_FN_CACHE.pop(key)  # LRU touch
-        return hit[1]
 
-    @functools.partial(jax.jit, static_argnames=("img_size",))
-    def fwd(params, images_u8, img_size: int):
-        x = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
-        maps, _ = darknet.apply(params, spec, x, compute_dtype=compute_dtype)
-        pred = heads.decode_all(maps, spec, img_size)
-        return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
-                                           capacity, return_count=True)
+    def build():
+        @functools.partial(jax.jit, static_argnames=("img_size",))
+        def fwd(params, images_u8, img_size: int):
+            x = resize_nearest(images_u8, img_size).astype(jnp.float32) / 255.0
+            maps, _ = darknet.apply(params, spec, x, compute_dtype=compute_dtype)
+            pred = heads.decode_all(maps, spec, img_size)
+            return nms_ops.non_max_suppression(pred, conf_thres, nms_thres,
+                                               capacity, return_count=True)
+        return fwd
 
-    while len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
-        _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
-    _EVAL_FN_CACHE[key] = (spec, fwd)
-    return fwd
+    return memoized_program(_EVAL_FN_CACHE, _EVAL_FN_CACHE_MAX, key,
+                            (spec,), build)
 
 
 def evaluate(

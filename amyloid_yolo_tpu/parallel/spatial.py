@@ -26,24 +26,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graphspec import GraphSpec
 from ..models import darknet, heads
+from ..utils.memo import memoized_program
 
 
 # Memoize the jitted programs: jax.jit caches by function identity, so a
 # fresh closure per call would recompile the full native-resolution model
 # on EVERY batch (the same defect evaluate.make_eval_fn memoizes away —
 # a multi-minute remote compile per sweep batch here).  Keyed on id(spec)/
-# id(mesh) with both held in the value so the ids cannot be recycled.
+# id(mesh) with both guarded by identity in utils.memo (shared policy
+# with evaluate.make_eval_fn), LRU-bounded so a many-resolution sweep
+# doesn't pin dead compiled programs.
 _FN_CACHE: dict = {}
+_FN_CACHE_MAX = 8
 
 
 def _memoized(kind: str, spec, mesh, key_tail, build):
     key = (kind, id(spec), id(mesh)) + key_tail
-    hit = _FN_CACHE.get(key)
-    if hit is not None and hit[0] is spec and hit[1] is mesh:
-        return hit[2]
-    fn = build()
-    _FN_CACHE[key] = (spec, mesh, fn)
-    return fn
+    return memoized_program(_FN_CACHE, _FN_CACHE_MAX, key, (spec, mesh),
+                            build)
 
 
 def make_spatial_mesh(n_sp: int, n_dp: int = 1) -> Mesh:

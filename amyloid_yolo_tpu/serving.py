@@ -289,7 +289,14 @@ class DetectionServer:
                     self._scale_denom = d
                     break
         self._n_native = 0
-        self._native_lock = threading.Lock()
+        self._native_lock = threading.Lock()  # guards _n_native AND
+        #   n_oversize: both are bumped from concurrent request-handler
+        #   threads (ThreadingHTTPServer), where a bare += loses counts
+        #   under exactly the flood the counters exist to report
+
+    def record_oversize(self) -> None:
+        with self._native_lock:
+            self.n_oversize += 1
 
     @property
     def port(self) -> int:
@@ -510,7 +517,7 @@ class DetectionServer:
                         # reject on the HEADER — never allocate what an
                         # adversarial Content-Length claims (one 10 GB POST
                         # must not be a one-request DoS)
-                        server.n_oversize += 1
+                        server.record_oversize()
                         self._send(413, {
                             "error": f"payload {length} bytes exceeds "
                                      f"max_body_bytes={server.max_body_bytes}"},

@@ -368,6 +368,13 @@ class Trainer:
             # alone.  (Before the snapshot, the ~1 GB device_get sat on
             # the epoch path: ~30 s/epoch through the ~35 MB/s dev-harness
             # tunnel, the largest term of the inter-epoch gap.)
+            # Cost of the trade: the snapshot holds a second copy of
+            # params+opt_state(+EMA) in HBM until the worker's fetch
+            # completes (~1 GB for the full model — ~6% of a v5e's 16 GB,
+            # sub-second to fetch on PCIe).  If a larger model runs the
+            # chip near HBM capacity, drop back to a synchronous save by
+            # joining the worker before the next step (or shrink the
+            # train batch).
             self.join_pending_save()
             tree = {
                 "params": self.state.params,

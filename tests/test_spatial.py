@@ -76,8 +76,20 @@ def test_spatial_fns_are_memoized(rng):
     spatial._FN_CACHE.clear()
     a = spatial_forward(folded, spec, jnp.asarray(x), mesh)
     assert len(spatial._FN_CACHE) == 1
-    fn = next(iter(spatial._FN_CACHE.values()))[2]
+    fn = next(iter(spatial._FN_CACHE.values()))[1]
     b = spatial_forward(folded, spec, jnp.asarray(x), mesh)
     assert len(spatial._FN_CACHE) == 1
-    assert next(iter(spatial._FN_CACHE.values()))[2] is fn
+    assert next(iter(spatial._FN_CACHE.values()))[1] is fn
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_fn_cache_lru_bounded(rng):
+    """Past _FN_CACHE_MAX distinct configs the oldest entry is evicted —
+    a many-resolution sweep must not pin dead compiled programs (same
+    bound as evaluate._EVAL_FN_CACHE)."""
+    from amyloid_yolo_tpu.parallel import spatial
+
+    spatial._FN_CACHE.clear()
+    for i in range(spatial._FN_CACHE_MAX + 3):
+        spatial._memoized("probe", object(), object(), (i,), lambda: i)
+    assert len(spatial._FN_CACHE) <= spatial._FN_CACHE_MAX

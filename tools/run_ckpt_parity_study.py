@@ -59,6 +59,9 @@ def main() -> int:
     ap.add_argument("--holdout-list", default="/tmp/prospective_data/valid.txt",
                     help="valid.txt of holdout images (for the fair column)")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--model-size", type=int, default=416,
+                    help="detector input side — match the checkpoint's "
+                         "training scale (anchors are in input pixels)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -82,7 +85,7 @@ def main() -> int:
 
     det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
                    precision=args.precision, int8_downsample=args.int8_ds,
-                   host_resize=True)
+                   model_size=args.model_size, host_resize=True)
 
     # 1. predictions over the 200 images (merge like the reference's
     # prospective treatment; CAA filter skipped: its model pickle is an LFS
