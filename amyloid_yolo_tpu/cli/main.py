@@ -199,7 +199,9 @@ def cmd_detect(args) -> int:
 
 def cmd_serve(args) -> int:
     """Long-running HTTP detection service (``serving.DetectionServer``):
-    micro-batched fixed-shape dispatch, POST /v1/detect, /healthz, /stats."""
+    micro-batched fixed-shape dispatch, POST /v1/detect (encoded image
+    body, or raw uint8 RGB with ``X-Image-Shape: H,W``), /healthz,
+    /stats."""
     from ..detectors import Detector
     from ..domain import CAAFilter
     from ..graphspec import yolov3_spec

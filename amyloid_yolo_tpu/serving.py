@@ -31,7 +31,13 @@ TPU-shaped by design:
 
 Endpoints:
 
-* ``POST /v1/detect`` — request body: encoded image bytes (JPEG/PNG/…).
+* ``POST /v1/detect`` — request body: encoded image bytes (JPEG/PNG/…),
+  or raw uint8 RGB pixels (C-order) with an ``X-Image-Shape: H,W``
+  header (the header alone keys the raw path — ``Content-Type`` is not
+  consulted, many clients POST encoded images as octet-stream) —
+  the raw form lets a co-located tiler that already holds pixels skip
+  the JPEG round-trip (host Huffman decode is the service's measured
+  bottleneck; see ``tools/serve_bench.py --raw``).
   Query params: ``merge`` (union-merge overlapping boxes, default 1),
   ``caa_filter`` (apply the consensus CAA model filter if the server was
   started with one, default 1).  Response: JSON
@@ -73,7 +79,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -289,7 +295,8 @@ class DetectionServer:
                     self._scale_denom = d
                     break
         self._n_native = 0
-        self._native_lock = threading.Lock()  # guards _n_native AND
+        self._n_raw = 0
+        self._native_lock = threading.Lock()  # guards _n_native/_n_raw AND
         #   n_oversize: both are bumped from concurrent request-handler
         #   threads (ThreadingHTTPServer), where a bare += loses counts
         #   under exactly the flood the counters exist to report
@@ -358,14 +365,27 @@ class DetectionServer:
     def _to_tile_frame(self, img: np.ndarray) -> np.ndarray:
         """Square-pad + fill the tile frame (ImageFolder.__getitem__
         geometry, datasets.py) so border-sized inputs behave exactly like
-        the folder path; then the optional host resize."""
+        the folder path; then the optional host resize.
+
+        The semantic chain is src → tile_size → model_size (two nearest
+        gathers), but nearest gathers compose by index composition —
+        ``img[i1][:, i1][i2][:, i2] == img[i1[i2]][:, i1[i2]]`` — so when
+        host_resize is on, the tile-sized intermediate (7 MB at 1536²)
+        is never materialized: one composed gather goes straight to
+        model_size.  Bit-identical by construction (tested against the
+        explicit two-step form)."""
         img, _ = pad_to_square_np(img)
         det = self.detector
-        if img.shape[0] != det.tile_size:
-            idx = self._ridx(det.tile_size, img.shape[0])
-            img = np.ascontiguousarray(img[idx][:, idx])
+        side = img.shape[0]
         if det.host_resize:
-            idx = self._ridx(det.model_size, det.tile_size)
+            if side != det.model_size or side != det.tile_size:
+                idx = self._ridx(det.model_size, det.tile_size)
+                if side != det.tile_size:
+                    idx = self._ridx(det.tile_size, side)[idx]
+                img = np.ascontiguousarray(img[idx][:, idx])
+            return img
+        if side != det.tile_size:
+            idx = self._ridx(det.tile_size, side)
             img = np.ascontiguousarray(img[idx][:, idx])
         return img
 
@@ -376,11 +396,28 @@ class DetectionServer:
             got = self._ridx_cache[key] = nearest_indices(dst, src)
         return got
 
-    def _detect_one(self, body: bytes, merge: bool, caa: bool) -> dict:
+    def _detect_one(self, body: bytes, merge: bool, caa: bool,
+                    raw_shape: Optional[Tuple[int, int]] = None) -> dict:
         use_caa = caa and self.caa_filter is not None
         img = None
         tile = None
-        if self._native_ok and not use_caa:
+        if raw_shape is not None:
+            # Raw-RGB ingestion (X-Image-Shape: H,W header): a co-located
+            # tiler that already holds
+            # pixels skips the JPEG encode/decode round-trip entirely —
+            # the host-side Huffman decode is the service's measured
+            # bottleneck (BENCH.md "Serving load bench": the device does
+            # ~2400 tiles/s while one core decodes 24-46 req/s).
+            h, w = raw_shape
+            if h <= 0 or w <= 0 or h * w * 3 != len(body):
+                raise ValueError(
+                    f"raw body is {len(body)} bytes but X-Image-Shape "
+                    f"{h},{w} implies {h * w * 3} (uint8 RGB, C-order)")
+            img = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+            tile = self._to_tile_frame(img)
+            with self._native_lock:
+                self._n_raw += 1
+        if tile is None and self._native_ok and not use_caa:
             # Fast path: exact-tile JPEG, no CAA crops needed from the
             # original image.  Non-tile geometries are rejected by the C
             # side right after the JPEG header (cheap) → PIL fallback.
@@ -436,6 +473,7 @@ class DetectionServer:
             "rejected_oversize": self.n_oversize,
             "precision": self.detector.precision,
             "native_decodes": self._n_native,
+            "raw_requests": self._n_raw,
             "decode_scale_denom": self._scale_denom,
             # images whose conf-passing candidates exceeded the fixed NMS
             # pool (detections truncated vs the uncapped reference loop)
@@ -523,10 +561,28 @@ class DetectionServer:
                                      f"max_body_bytes={server.max_body_bytes}"},
                             close=True)
                         return
+                    # Raw-RGB ingestion is keyed on the X-Image-Shape
+                    # header alone (NOT on Content-Type: many clients
+                    # already POST encoded images as octet-stream).
+                    raw_shape = None
+                    shp = self.headers.get("X-Image-Shape")
+                    if shp is not None:
+                        parts = [p for p in shp.replace(" ", "").split(",")
+                                 if p]
+                        if (len(parts) not in (2, 3)
+                                or not all(p.isdigit() for p in parts)
+                                or (len(parts) == 3 and parts[2] != "3")):
+                            self._send(400, {
+                                "error": "raw body requires X-Image-Shape: "
+                                         "H,W (uint8 RGB, C-order)"},
+                                close=True)
+                            return
+                        raw_shape = (int(parts[0]), int(parts[1]))
                     body = self.rfile.read(length)
                     out = server._detect_one(
                         body, flag("merge", server.merge_boxes),
-                        flag("caa_filter", server.caa_filter is not None))
+                        flag("caa_filter", server.caa_filter is not None),
+                        raw_shape=raw_shape)
                     self._send(200, out)
                 except QueueFullError as e:  # shed: bounded queue is full
                     self._send(503, {"error": str(e)},

@@ -140,6 +140,79 @@ def test_concurrent_requests_share_dispatches(server, rng):
     assert used <= 8, f"expected micro-batching, got {used} dispatches"
 
 
+def _post_raw(url: str, img: np.ndarray, shape_header: str = None):
+    req = urllib.request.Request(
+        url, data=img.tobytes(), method="POST",
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Image-Shape": shape_header if shape_header is not None
+                 else f"{img.shape[0]},{img.shape[1]}"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_raw_pixels_match_encoded_path(server, rng):
+    """X-Image-Shape raw-RGB ingestion returns the EXACT same response as
+    POSTing the same pixels losslessly encoded (PNG) — same tile-frame
+    geometry, same pipeline, same rescale — for both an exact tile and a
+    border-sized (non-square) image."""
+    url = f"http://127.0.0.1:{server.port}/v1/detect"
+    for shape in [(256, 256), (100, 80)]:
+        img = rng.randint(0, 255, shape + (3,)).astype(np.uint8)
+        code_raw, out_raw = _post_raw(url, img)
+        code_png, out_png = _post(url, _png_bytes(img))
+        assert code_raw == 200 and code_png == 200
+        assert out_raw == out_png
+        assert out_raw["image_hw"] == list(shape)
+    _, stats = _get(f"http://127.0.0.1:{server.port}/stats")
+    assert stats["raw_requests"] >= 2
+
+
+def test_raw_pixels_bad_shape_rejected(server, rng):
+    """Shape/length mismatches and malformed headers answer 400 (never a
+    reshape crash), and a well-formed H,W,3 third component is accepted."""
+    url = f"http://127.0.0.1:{server.port}/v1/detect"
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    for hdr in ["128,64",  # length mismatch: implies 2x the body
+                "64",  # malformed: one component
+                "64,64,4",  # non-RGB channel count
+                "64,-64", "a,b", "0,0"]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_raw(url, img, shape_header=hdr)
+        assert ei.value.code == 400, hdr
+    code, out = _post_raw(url, img, shape_header="64,64,3")
+    assert code == 200 and out["image_hw"] == [64, 64]
+
+
+def test_tile_frame_composed_resize_bit_identical(rng):
+    """host_resize servers resize src → model_size in ONE composed nearest
+    gather (never materializing the tile_size intermediate); must equal
+    the explicit two-step src → tile → model chain exactly."""
+    from amyloid_yolo_tpu.io.datasets import pad_to_square_np
+    from amyloid_yolo_tpu.models import darknet
+    from amyloid_yolo_tpu.ops.preprocess import nearest_indices
+
+    spec = mini_spec(num_classes=2, img_size=64)
+    params = darknet.init_params(jax.random.PRNGKey(0), spec)
+    det = Detector(spec, params, model_size=64, tile_size=256,
+                   host_resize=True, compute_dtype=jnp.float32)
+    srv = DetectionServer(det, port=0)
+    try:
+        for shape in [(256, 256), (100, 80), (64, 64), (300, 300),
+                      (256, 100)]:
+            img = rng.randint(0, 255, shape + (3,)).astype(np.uint8)
+            got = srv._to_tile_frame(img)
+            ref, _ = pad_to_square_np(img)
+            if ref.shape[0] != det.tile_size:
+                i1 = nearest_indices(det.tile_size, ref.shape[0])
+                ref = ref[i1][:, i1]
+            i2 = nearest_indices(det.model_size, det.tile_size)
+            ref = ref[i2][:, i2]
+            assert got.shape == (64, 64, 3)
+            np.testing.assert_array_equal(got, ref)
+    finally:
+        srv._httpd.server_close()
+
+
 def test_bad_requests(server):
     code = urllib.request.urlopen(
         urllib.request.Request(

@@ -5,11 +5,17 @@ throughput story is the offline folder sweep, ``validation.py:282-366``;
 the serving analog measures the same device pipeline behind concurrent
 HTTP requests).  Spawns a :class:`~amyloid_yolo_tpu.serving.DetectionServer`
 IN-PROCESS (one JAX process — see CLAUDE.md hazards) plus ``--concurrency``
-client threads that POST one pre-encoded JPEG in a closed loop for
-``--duration`` seconds, then prints one JSON line:
+client threads that POST one payload in a closed loop for ``--duration``
+seconds per phase, then prints one JSON line per phase:
 
-    {"req_per_s": ..., "p50_ms": ..., "p90_ms": ..., "p99_ms": ...,
-     "batched_ratio": ..., "errors": 0, ...}
+    {"mode": "jpeg", "req_per_s": ..., "p50_ms": ..., "p90_ms": ...,
+     "p99_ms": ..., "batched_ratio": ..., "errors": 0, ...}
+
+``--img_side`` accepts a comma list and ``--ab True`` runs a jpeg AND a
+raw-pixel phase per side — every phase drives the SAME warm server, so a
+multi-point A/B costs one compile.  ``--raw True`` alone posts raw uint8
+RGB (``X-Image-Shape`` header): the co-located-tiler operating point,
+no JPEG round-trip.
 
 Two interesting operating points on a 1-core host:
 
@@ -80,13 +86,16 @@ def make_jpeg(side: int, quality: int = 90) -> bytes:
 
 
 def run_client(host: str, port: int, body: bytes, deadline: float,
-               lat_ms: list, errors: list, shed: list):
+               lat_ms: list, errors: list, shed: list,
+               raw_shape: "tuple | None" = None):
+    headers = {"Content-Type": "application/octet-stream"}
+    if raw_shape is not None:
+        headers["X-Image-Shape"] = f"{raw_shape[0]},{raw_shape[1]}"
     conn = http.client.HTTPConnection(host, port, timeout=300)
     while time.monotonic() < deadline:
         t0 = time.monotonic()
         try:
-            conn.request("POST", "/v1/detect", body=body,
-                         headers={"Content-Type": "application/octet-stream"})
+            conn.request("POST", "/v1/detect", body=body, headers=headers)
             resp = conn.getresponse()
             resp.read()
             if resp.status == 503:  # load shed: bounded queue said not now
@@ -118,7 +127,10 @@ def main() -> int:
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--concurrency", type=int, default=32)
     ap.add_argument("--duration", type=float, default=30.0)
-    ap.add_argument("--img_side", type=int, default=1536)
+    ap.add_argument("--img_side", type=str, default="1536",
+                    help="tile side, or a comma list (e.g. 1536,416) — each "
+                         "side runs as its own measured phase against the "
+                         "same warm server (one compile, one process)")
     ap.add_argument("--host_resize", type=str, default="True",
                     help="server-side nearest resize before transfer "
                          "(keeps the tunnel at 416^2; BENCH.md)")
@@ -130,6 +142,13 @@ def main() -> int:
                     help="DCT-scaled native decode (non-parity pixels)")
     ap.add_argument("--max_queue", type=int, default=None,
                     help="bounded executor queue (default 8x batch)")
+    ap.add_argument("--raw", type=str, default="False",
+                    help="POST raw uint8 RGB pixels (X-Image-Shape header) "
+                         "instead of JPEG — the co-located-tiler operating "
+                         "point; skips the host Huffman decode entirely")
+    ap.add_argument("--ab", type=str, default="False",
+                    help="run BOTH a jpeg and a raw phase per img_side "
+                         "(same warm server) — the clean in-process A/B")
     args = ap.parse_args()
 
     from amyloid_yolo_tpu.detectors import Detector
@@ -155,83 +174,119 @@ def main() -> int:
                              fast_decode=_truthy(args.fast_decode),
                              max_queue=args.max_queue)
     server.start()
+    from PIL import Image
+
+    sides = [int(s) for s in str(args.img_side).split(",")]
     if args.img:
-        body = open(args.img, "rb").read()
+        jpegs = {s: open(args.img, "rb").read() for s in sides}
     else:
-        body = make_jpeg(args.img_side)
+        jpegs = {s: make_jpeg(s) for s in sides}
     # calibrate on the actual traffic tile (int8), compile before timing
-    calib = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(
-        io.BytesIO(body)).convert("RGB"))
+    calib = np.asarray(Image.open(io.BytesIO(jpegs[sides[0]])).convert("RGB"))
     if calib.shape[0] != det.tile_size:
         from amyloid_yolo_tpu.ops.preprocess import nearest_indices
 
         idx = nearest_indices(det.tile_size, calib.shape[0])
         calib = np.ascontiguousarray(calib[idx][:, idx])
     server.warmup(np.broadcast_to(calib, (args.batch_size,) + calib.shape))
-    print(f"compiled; driving {args.concurrency} clients for "
-          f"{args.duration:.0f}s ({len(body)/1e3:.0f} kB JPEG, "
-          f"side {args.img_side})", file=sys.stderr, flush=True)
 
-    lat_ms: list = []
-    errors: list = []
-    shed: list = []
+    if _truthy(args.ab):
+        modes = ["jpeg", "raw"]
+    elif _truthy(args.raw):
+        # co-located-tiler operating point: the client already holds
+        # pixels, so POST them raw (X-Image-Shape) — no JPEG round-trip
+        modes = ["raw"]
+    else:
+        modes = ["jpeg"]
+
     rss_before = rss_mb()
-    deadline = time.monotonic() + args.duration
-    threads = [threading.Thread(
-        target=run_client,
-        args=("127.0.0.1", server.port, body, deadline, lat_ms, errors, shed),
-        daemon=True) for _ in range(args.concurrency)]
-    # sample the live queue depth so the overload report shows the bound held
-    depth_max = [0]
-    mon_stop = threading.Event()
+    rc = 0
+    for side in sides:
+        for mode in modes:
+            if mode == "raw":
+                arr = np.asarray(
+                    Image.open(io.BytesIO(jpegs[side])).convert("RGB"))
+                raw_shape = (arr.shape[0], arr.shape[1])
+                body = arr.tobytes()
+            else:
+                raw_shape = None
+                body = jpegs[side]
+            print(f"driving {args.concurrency} clients for "
+                  f"{args.duration:.0f}s ({len(body)/1e3:.0f} kB {mode}, "
+                  f"side {side})", file=sys.stderr, flush=True)
 
-    def monitor():
-        while not mon_stop.is_set():
-            depth_max[0] = max(depth_max[0], server.executor.queue_depth())
-            time.sleep(0.02)
+            lat_ms: list = []
+            errors: list = []
+            shed: list = []
+            stats0 = server._stats()
+            deadline = time.monotonic() + args.duration
+            threads = [threading.Thread(
+                target=run_client,
+                args=("127.0.0.1", server.port, body, deadline, lat_ms,
+                      errors, shed, raw_shape),
+                daemon=True) for _ in range(args.concurrency)]
+            # sample the live queue depth so the overload report shows the
+            # bound held
+            depth_max = [0]
+            mon_stop = threading.Event()
 
-    mon = threading.Thread(target=monitor, daemon=True)
-    mon.start()
-    t0 = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=args.duration + 300)
-    wall = time.monotonic() - t0
-    mon_stop.set()
-    mon.join(5)
-    stats = server._stats()
+            def monitor():
+                while not mon_stop.is_set():
+                    depth_max[0] = max(depth_max[0],
+                                       server.executor.queue_depth())
+                    time.sleep(0.02)
+
+            mon = threading.Thread(target=monitor, daemon=True)
+            mon.start()
+            t0 = time.monotonic()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=args.duration + 300)
+            wall = time.monotonic() - t0
+            mon_stop.set()
+            mon.join(5)
+            stats = server._stats()
+
+            lat = np.sort(np.asarray(lat_ms)) if lat_ms else np.asarray([0.0])
+            d_req = stats["requests"] - stats0["requests"]
+            d_disp = stats["dispatches"] - stats0["dispatches"]
+            out = {
+                "mode": mode,
+                "req_per_s": round(len(lat_ms) / wall, 2),
+                "n_ok": len(lat_ms),
+                "errors": len(errors),
+                "p50_ms": round(float(np.percentile(lat, 50)), 1),
+                "p90_ms": round(float(np.percentile(lat, 90)), 1),
+                "p99_ms": round(float(np.percentile(lat, 99)), 1),
+                # per-phase counters (diffed — the server stays up across
+                # phases so the raw /stats totals span all of them)
+                "batched_ratio": round(d_req / max(d_disp, 1), 3),
+                "dispatches": d_disp,
+                "native_decodes": (stats["native_decodes"]
+                                   - stats0["native_decodes"]),
+                "raw_requests": stats["raw_requests"] - stats0["raw_requests"],
+                "concurrency": args.concurrency,
+                "img_side": side,
+                "precision": det.precision,
+                "batch_size": args.batch_size,
+                # overload/backpressure observables: shed count (503s), how
+                # fast a shed answer returns, the max live queue depth (must
+                # stay <= max_queue), and process peak RSS growth over the
+                # run (bounded memory under any offered load)
+                "shed": stats["shed"] - stats0["shed"],
+                "shed_p50_ms": round(float(
+                    np.percentile(np.asarray(shed), 50)), 1) if shed else None,
+                "queue_depth_max": depth_max[0],
+                "max_queue": stats["max_queue"],
+                "rss_mb_start": round(rss_before, 1),
+                "rss_mb_peak": round(rss_mb(), 1),
+            }
+            if errors:
+                rc = 1
+            print(json.dumps(out), flush=True)
     server.stop()
-
-    lat = np.sort(np.asarray(lat_ms)) if lat_ms else np.asarray([0.0])
-    out = {
-        "req_per_s": round(len(lat_ms) / wall, 2),
-        "n_ok": len(lat_ms),
-        "errors": len(errors),
-        "p50_ms": round(float(np.percentile(lat, 50)), 1),
-        "p90_ms": round(float(np.percentile(lat, 90)), 1),
-        "p99_ms": round(float(np.percentile(lat, 99)), 1),
-        "batched_ratio": stats["batched_ratio"],
-        "dispatches": stats["dispatches"],
-        "native_decodes": stats["native_decodes"],
-        "concurrency": args.concurrency,
-        "img_side": args.img_side,
-        "precision": det.precision,
-        "batch_size": args.batch_size,
-        # overload/backpressure observables: shed count (503s), how fast a
-        # shed answer returns, the max live queue depth (must stay <=
-        # max_queue), and process peak RSS growth over the run (bounded
-        # memory under any offered load)
-        "shed": stats["shed"],
-        "shed_p50_ms": round(float(np.percentile(np.asarray(shed), 50)), 1)
-                       if shed else None,
-        "queue_depth_max": depth_max[0],
-        "max_queue": stats["max_queue"],
-        "rss_mb_start": round(rss_before, 1),
-        "rss_mb_peak": round(rss_mb(), 1),
-    }
-    print(json.dumps(out), flush=True)
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
