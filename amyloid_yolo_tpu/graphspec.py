@@ -25,7 +25,7 @@ The spec can be built two ways:
 from __future__ import annotations
 
 import dataclasses
-from typing import FrozenSet, List, Sequence, Tuple
+from typing import FrozenSet, List, Optional, Sequence, Tuple
 
 from .parsecfg import parse_model_config
 
@@ -279,19 +279,31 @@ class _Builder:
         self.out_channels.append(self.out_channels[-1])
         return self.i - 1
 
-    def yolo(self, mask: Sequence[int], num_classes: int) -> int:
-        anchors = tuple(YOLOV3_ANCHORS[m] for m in mask)
+    def yolo(self, mask: Sequence[int], num_classes: int,
+             table: Optional[Sequence[Tuple[float, float]]] = None) -> int:
+        table = YOLOV3_ANCHORS if table is None else tuple(table)
+        anchors = tuple(table[m] for m in mask)
         self.layers.append(YoloSpec(self.i, anchors, num_classes))
         self.out_channels.append(self.out_channels[-1])
         return self.i - 1
 
 
-def yolov3_spec(num_classes: int = 2, img_size: int = 416) -> GraphSpec:
+def yolov3_spec(
+    num_classes: int = 2, img_size: int = 416,
+    anchors: Optional[Sequence[Tuple[float, float]]] = None,
+) -> GraphSpec:
     """Build YOLOv3 (Darknet-53 + FPN heads) natively.
 
     Structurally identical to the reference's ``config/yolov3-custom.cfg``
     (75-layer backbone, heads at strides 32/16/8 with anchor masks 6-8 / 3-5 /
     0-2, ``filters = 3*(5+num_classes)`` on each pre-yolo 1x1 conv).
+
+    ``anchors`` replaces the 9-entry COCO table (``YOLOV3_ANCHORS``) with a
+    custom one, in input pixels at ``img_size`` scale, area-ascending so the
+    standard masks keep assigning the largest triple to the stride-32 head.
+    The reference hardcodes the COCO anchors for every experiment
+    (``config/create_custom_model.sh``); re-estimated anchors are the one
+    standard YOLO training lever it omits (see ``tools/estimate_anchors.py``).
     """
     b = _Builder(NetInfo(width=img_size, height=img_size))
     head_filters = 3 * (5 + num_classes)
@@ -327,7 +339,7 @@ def yolov3_spec(num_classes: int = 2, img_size: int = 416) -> GraphSpec:
     b.conv(512, 1)
     b.conv(1024, 3)
     b.conv(head_filters, 1, bn=False, act="linear")
-    b.yolo(YOLOV3_MASKS[0], num_classes)
+    b.yolo(YOLOV3_MASKS[0], num_classes, anchors)
 
     # Head 2 (stride 16)
     b.route([-4])
@@ -340,7 +352,7 @@ def yolov3_spec(num_classes: int = 2, img_size: int = 416) -> GraphSpec:
     b.conv(256, 1)
     b.conv(512, 3)
     b.conv(head_filters, 1, bn=False, act="linear")
-    b.yolo(YOLOV3_MASKS[1], num_classes)
+    b.yolo(YOLOV3_MASKS[1], num_classes, anchors)
 
     # Head 3 (stride 8)
     b.route([-4])
@@ -353,7 +365,7 @@ def yolov3_spec(num_classes: int = 2, img_size: int = 416) -> GraphSpec:
     b.conv(128, 1)
     b.conv(256, 3)
     b.conv(head_filters, 1, bn=False, act="linear")
-    b.yolo(YOLOV3_MASKS[2], num_classes)
+    b.yolo(YOLOV3_MASKS[2], num_classes, anchors)
 
     return _finish(b.net, b.layers, b.out_channels)
 

@@ -146,4 +146,48 @@ def spatial_detect(
     return fwd(p, x)
 
 
-__all__ = ["make_spatial_mesh", "spatial_forward", "spatial_detect"]
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ``dp``, image HEIGHT over ``sp`` (NHWC uint8 input).
+
+    The train step may transpose to planar (B, C, H, W) internally; GSPMD
+    propagates the height partition through the transpose, so the same
+    input sharding serves both layouts."""
+    return NamedSharding(mesh, P("dp", "sp", None, None))
+
+
+def shard_spatial_train_step(step_fn, mesh: Mesh):
+    """Wrap a train step from :mod:`..parallel.steps` so activations run
+    HEIGHT-sharded over ``sp`` (batch over ``dp``) — the spatially-sharded
+    TRAINING step round 4's resolution experiments call for (BENCH.md
+    "Spatial payoff": native-resolution detection needs scale-matched
+    *training*, and at 1536² that training is exactly what spatial sharding
+    makes fit).
+
+    No step-function surgery is needed — that is the point of the global-
+    semantics design: under one jitted program XLA partitions every conv
+    with halo exchanges over ICI, reduces the BatchNorm *batch* statistics
+    over the full (B, H, W) array (i.e. across ``sp`` × ``dp`` — sync-BN,
+    same numbers as unsharded), and all-reduces the gradients, because loss
+    and stat reductions are written as global-array means.  Gradient
+    equivalence to the unsharded step is asserted in
+    ``tests/test_spatial.py`` (same standard as ``tests/test_parallel.py``).
+
+    Targets stay batch-sharded over ``dp`` only: the flat (B·cap, 6) rows
+    divide by image, not by height.
+    """
+    img_sh = spatial_image_sharding(mesh)
+    row_sh = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def sharded(state, images_u8, targets, target_mask, rng, img_size):
+        images_u8 = jax.device_put(images_u8, img_sh)
+        targets = jax.device_put(targets, row_sh)
+        target_mask = jax.device_put(target_mask, row_sh)
+        state = jax.device_put(state, rep)
+        return step_fn(state, images_u8, targets, target_mask, rng, img_size)
+
+    return sharded
+
+
+__all__ = ["make_spatial_mesh", "spatial_forward", "spatial_detect",
+           "spatial_image_sharding", "shard_spatial_train_step"]

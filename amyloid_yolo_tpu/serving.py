@@ -259,6 +259,7 @@ class DetectionServer:
         fast_decode: bool = False,
         max_queue: Optional[int] = None,
         max_body_bytes: int = 32 * 1024 * 1024,
+        max_side: Optional[int] = None,
         request_timeout_s: float = 120.0,
     ):
         self.detector = detector
@@ -270,6 +271,12 @@ class DetectionServer:
         # ≤ a few MB encoded; a Content-Length past max_body_bytes is
         # rejected 413 before any allocation), and a per-request timeout.
         self.max_body_bytes = int(max_body_bytes)
+        # Dimension ceiling: pad_to_square allocates max(H,W)² * 3, so an
+        # extreme-aspect image whose BODY is tiny (e.g. 65535x1 raw ≈
+        # 197 kB) would otherwise balloon to ~12.9 GB — a one-request OOM
+        # past every byte-level bound (r4 advisor, medium).  Applied to the
+        # raw-RGB header BEFORE the body is read and to PIL-decoded shapes.
+        self.max_side = int(max_side) if max_side else detector.tile_size
         self.request_timeout_s = float(request_timeout_s)
         self.n_oversize = 0
         self.executor = BatchingExecutor(
@@ -413,6 +420,11 @@ class DetectionServer:
                 raise ValueError(
                     f"raw body is {len(body)} bytes but X-Image-Shape "
                     f"{h},{w} implies {h * w * 3} (uint8 RGB, C-order)")
+            if max(h, w) > self.max_side:
+                raise ValueError(
+                    f"image side {max(h, w)} exceeds max_side="
+                    f"{self.max_side} (pad-to-square would allocate "
+                    f"{max(h, w) ** 2 * 3} bytes)")
             img = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
             tile = self._to_tile_frame(img)
             with self._native_lock:
@@ -433,7 +445,14 @@ class DetectionServer:
         if tile is None:
             from PIL import Image
 
-            img = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+            with Image.open(io.BytesIO(body)) as im:
+                # check the header-declared size BEFORE decoding pixels:
+                # a tall 1xN PNG must not allocate its padded square
+                if max(im.size) > self.max_side:
+                    raise ValueError(
+                        f"image side {max(im.size)} exceeds max_side="
+                        f"{self.max_side}")
+                img = np.asarray(im.convert("RGB"))
             h, w = img.shape[:2]
             tile = self._to_tile_frame(img)
         det = self.executor.submit(tile, timeout=self.request_timeout_s)
@@ -567,8 +586,10 @@ class DetectionServer:
                     raw_shape = None
                     shp = self.headers.get("X-Image-Shape")
                     if shp is not None:
-                        parts = [p for p in shp.replace(" ", "").split(",")
-                                 if p]
+                        # split WITHOUT dropping empties: '64,,64' and
+                        # '64,64,,' must be 400s, not silently accepted
+                        # (r4 advisor, low)
+                        parts = shp.replace(" ", "").split(",")
                         if (len(parts) not in (2, 3)
                                 or not all(p.isdigit() for p in parts)
                                 or (len(parts) == 3 and parts[2] != "3")):
@@ -578,6 +599,14 @@ class DetectionServer:
                                 close=True)
                             return
                         raw_shape = (int(parts[0]), int(parts[1]))
+                        if max(raw_shape) > server.max_side:
+                            server.record_oversize()
+                            self._send(413, {
+                                "error": f"image side {max(raw_shape)} "
+                                         f"exceeds max_side="
+                                         f"{server.max_side}"},
+                                close=True)
+                            return
                     body = self.rfile.read(length)
                     out = server._detect_one(
                         body, flag("merge", server.merge_boxes),

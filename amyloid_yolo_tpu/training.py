@@ -59,6 +59,14 @@ class TrainConfig:
     logdir: str = "logs"
     seed: int = 0
     data_parallel: Optional[int] = None   # devices in the dp mesh (None = 1)
+    spatial_shard: Optional[int] = None  # shard image HEIGHT over an sp
+    #   mesh axis (composes with data_parallel: mesh is (dp, sp)).  GSPMD
+    #   partitions every conv with halo exchanges and keeps BN batch stats
+    #   + grads global (sync-BN semantics identical to unsharded — grad
+    #   equivalence in tests/test_spatial.py).  This is what makes
+    #   native-resolution (≥1536²) scale-matched TRAINING fit on a slice
+    #   (BENCH.md "Spatial payoff"); on one chip it is a no-op beyond
+    #   program layout.  Incompatible with distributed=True for now.
     distributed: bool = False  # multi-host (pod-scale) DP: one global mesh
     #   over every process's devices; batch_size is the GLOBAL batch and
     #   each host loads its own row block (parallel/distributed.py).  On a
@@ -177,7 +185,17 @@ class Trainer:
                 compute_dtype=cdtype, s2d_stem=s2d,
                 image_layout=cfg.image_layout, ema_decay=cfg.ema_decay,
             )
-        if cfg.distributed and self.nproc > 1:
+        if cfg.spatial_shard and cfg.spatial_shard > 1:
+            if cfg.distributed:
+                raise ValueError("spatial_shard does not compose with "
+                                 "distributed multi-host DP yet")
+            from .parallel import spatial as spatial_mod
+
+            mesh = spatial_mod.make_spatial_mesh(
+                cfg.spatial_shard, cfg.data_parallel or 1)
+            self.step_fn = spatial_mod.shard_spatial_train_step(
+                self.step_fn, mesh)
+        elif cfg.distributed and self.nproc > 1:
             mesh = self._dist.global_mesh()
             self.step_fn = self._dist.shard_train_step_multiprocess(
                 self.step_fn, mesh)

@@ -503,3 +503,45 @@ def test_http_503_on_burst_and_413_on_oversize(server, rng):
     # the server still works afterwards
     code, out = _post(url, body)
     assert code == 200 and "detections" in out
+
+
+def test_malformed_shape_header_empty_components(server, rng):
+    """'64,,64' / '64,64,,' must be 400s — empty components are NOT
+    silently dropped (r4 advisor: split-then-filter accepted them)."""
+    url = f"http://127.0.0.1:{server.port}/v1/detect"
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    for hdr in ["64,,64", "64,64,,", ",64,64", "64,"]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_raw(url, img, shape_header=hdr)
+        assert ei.value.code == 400, hdr
+
+
+def test_max_side_guard_raw_header(server):
+    """An extreme-aspect raw header (65535x1 ≈ 197 kB body) must be shed on
+    the HEADER with 413 — pad_to_square would otherwise allocate
+    max(H,W)²*3 ≈ 12.9 GB from a tiny request (r4 advisor, medium)."""
+    assert server.max_side == server.detector.tile_size  # default bound
+    url = f"http://127.0.0.1:{server.port}/v1/detect"
+    body = np.zeros((65535, 1, 3), np.uint8)
+    before = server.n_oversize
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_raw(url, body, shape_header="65535,1")
+    assert ei.value.code == 413
+    assert server.n_oversize == before + 1
+    # a max-side-sized raw request still works
+    ok = np.zeros((server.max_side, 4, 3), np.uint8)
+    code, out = _post_raw(url, ok)
+    assert code == 200 and out["image_hw"] == [server.max_side, 4]
+
+
+def test_max_side_guard_decoded_image(server, rng):
+    """A decodable image whose pixel dimensions exceed max_side is a 400
+    (checked on the PIL header before pixel decode)."""
+    url = f"http://127.0.0.1:{server.port}/v1/detect"
+    tall = np.zeros((server.max_side + 1, 2, 3), np.uint8)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, _png_bytes(tall))
+    assert ei.value.code == 400
+    wide = rng.randint(0, 255, (3, server.max_side, 3)).astype(np.uint8)
+    code, out = _post(url, _png_bytes(wide))  # at the bound: accepted
+    assert code == 200 and out["image_hw"] == [3, server.max_side]

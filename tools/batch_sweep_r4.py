@@ -13,29 +13,15 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(det, inp, iters, reps=2):
-    import jax
-
-    out = det._fn(det.params, inp)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        for _ in range(3):
-            out = det._fn(det.params, inp)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = det._fn(det.params, inp)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+# the benchmark-of-record timing loop, imported so the sweep can never
+# drift from bench.py methodology (r4 advisor, low)
+from bench import measure  # noqa: E402
 
 
 def main():

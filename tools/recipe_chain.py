@@ -88,6 +88,8 @@ def train_cmd(args, phase: int, lr: float, epochs: int,
     ]
     if args.keep_checkpoints is not None:
         cmd += ["--keep_checkpoints", str(args.keep_checkpoints)]
+    if args.model_def:
+        cmd += ["--model_def", args.model_def]
     if args.ema_decay is not None:
         cmd += ["--ema_decay", str(args.ema_decay)]
     if pretrained:
@@ -107,6 +109,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--gradient_accumulations", type=int, default=2)
     ap.add_argument("--img_size", type=int, default=416)
+    ap.add_argument("--model_def", default=None,
+                    help="darknet cfg for both phases AND the study overlay "
+                         "(e.g. a re-anchored cfg from tools/estimate_anchors.py)")
     ap.add_argument("--epochs1", type=int, default=80)
     ap.add_argument("--epochs2", type=int, default=50)
     ap.add_argument("--lr1", type=float, default=1e-3)
@@ -173,10 +178,13 @@ def main(argv=None) -> int:
               f"(best raw mAP {v2:.4f} @ {e2})", flush=True)
 
     if args.study:
-        rc = run([sys.executable, "tools/run_ckpt_parity_study.py",
-                  "--ckpt", study_ckpt, "--tag", f"model_{args.tag}",
-                  "--out", "parity_study",
-                  "--model-size", str(args.img_size)], "study")
+        study_cmd = [sys.executable, "tools/run_ckpt_parity_study.py",
+                     "--ckpt", study_ckpt, "--tag", f"model_{args.tag}",
+                     "--out", "parity_study",
+                     "--model-size", str(args.img_size)]
+        if args.model_def:
+            study_cmd += ["--model-def", args.model_def]
+        rc = run(study_cmd, "study")
         if rc != 0:
             return rc
     print("[recipe_chain] done", flush=True)

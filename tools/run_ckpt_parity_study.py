@@ -62,6 +62,11 @@ def main() -> int:
     ap.add_argument("--model-size", type=int, default=416,
                     help="detector input side — match the checkpoint's "
                          "training scale (anchors are in input pixels)")
+    ap.add_argument("--model-def", default=None,
+                    help="darknet cfg the checkpoint was trained with "
+                         "(anchors live in the graph spec, not the params "
+                         "— a re-anchored checkpoint decodes garbage "
+                         "under the default COCO table)")
     ap.add_argument("--tag", default=None)
     args = ap.parse_args()
 
@@ -74,13 +79,14 @@ def main() -> int:
         run_model_on_validation_images,
     )
     from amyloid_yolo_tpu.detectors import Detector
-    from amyloid_yolo_tpu.graphspec import yolov3_spec
+    from amyloid_yolo_tpu.graphspec import from_cfg, yolov3_spec
     from amyloid_yolo_tpu.io import weights as W
 
     tag = args.tag or (args.precision if args.precision != "bf16"
                        else "model_r2")
     os.makedirs(args.out, exist_ok=True)
-    spec = yolov3_spec(num_classes=2)
+    spec = (from_cfg(args.model_def) if args.model_def
+            else yolov3_spec(num_classes=2))
     params = W.load_ckpt_params(args.ckpt)  # accepts <dir>#ema
 
     det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,

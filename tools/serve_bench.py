@@ -178,7 +178,16 @@ def main() -> int:
 
     sides = [int(s) for s in str(args.img_side).split(",")]
     if args.img:
-        jpegs = {s: open(args.img, "rb").read() for s in sides}
+        # one real file = one payload: a multi-side sweep would post the
+        # SAME bytes under different img_side labels (r4 advisor, low) —
+        # derive the single reported side from the decoded image instead
+        if len(sides) > 1:
+            raise SystemExit("--img is a single payload; it cannot be "
+                             "combined with a comma --img_side sweep")
+        data = open(args.img, "rb").read()
+        real = Image.open(io.BytesIO(data)).size[0]
+        sides = [real]
+        jpegs = {real: data}
     else:
         jpegs = {s: make_jpeg(s) for s in sides}
     # calibrate on the actual traffic tile (int8), compile before timing
