@@ -72,6 +72,18 @@ def _capacity_kwargs(args) -> dict:
     return {}
 
 
+def _spec_from_args(args):
+    """Graph spec for non-train commands: ``--model_def <cfg>`` (reference
+    ``--model_def`` semantics) or the native 2-class builder.  A checkpoint
+    trained with re-estimated anchors (tools/estimate_anchors.py) has
+    layout-identical params but decodes garbage under the wrong table, so
+    every surface that loads one accepts the cfg."""
+    from ..graphspec import from_cfg, yolov3_spec
+
+    md = getattr(args, "model_def", None)
+    return from_cfg(md) if md else yolov3_spec(num_classes=2)
+
+
 def cmd_train(args) -> int:
     from ..training import Trainer, TrainConfig
 
@@ -131,7 +143,7 @@ def cmd_test(args) -> int:
     from ..io import weights as W
     from ..parsecfg import load_classes, parse_data_config
 
-    spec = yolov3_spec(num_classes=2)
+    spec = _spec_from_args(args)
     data = parse_data_config(args.data_config)
     params = W.load_pretrained(spec, args.weights_path)
     out = evaluate(spec, params, data["valid"], iou_thres=args.iou_thres,
@@ -159,7 +171,7 @@ def cmd_detect(args) -> int:
     from ..io.datasets import load_image_rgb
     from ..parsecfg import load_classes
 
-    spec = yolov3_spec(num_classes=2)
+    spec = _spec_from_args(args)
     params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
     classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
         else ["CAA", "Cored"]
@@ -222,7 +234,7 @@ def cmd_serve(args) -> int:
     from ..parsecfg import load_classes
     from ..serving import DetectionServer
 
-    spec = yolov3_spec(num_classes=2)
+    spec = _spec_from_args(args)
     params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
     classes = load_classes(args.class_path) if os.path.exists(args.class_path) \
         else ["CAA", "Cored"]
@@ -296,7 +308,7 @@ def cmd_sweep(args) -> int:
     from ..graphspec import yolov3_spec
     from ..io import weights as W
 
-    spec = yolov3_spec(num_classes=2)
+    spec = _spec_from_args(args)
     params = W.load_pretrained(spec, args.weights_path) if args.weights_path else None
     mesh = None
     if args.data_parallel and args.data_parallel > 1:
@@ -347,7 +359,7 @@ def cmd_export(args) -> int:
     from ..graphspec import yolov3_spec
     from ..io import weights as W
 
-    spec = yolov3_spec(num_classes=2)
+    spec = _spec_from_args(args)
     src = args.src
     if os.path.isdir(src.removesuffix("#ema")):  # orbax checkpoint dir
         params = W.load_ckpt_params(src)  # accepts <dir>#ema
@@ -469,6 +481,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("test")
+    e.add_argument("--model_def", type=str, default=None,
+                   help="darknet cfg to build the graph from (e.g. a re-anchored cfg; default: the native 2-class builder)")
     e.add_argument("--batch_size", type=int, default=8)
     e.add_argument("--data_config", type=str, default="config/custom.data")
     e.add_argument("--weights_path", type=str, required=True)
@@ -482,6 +496,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.set_defaults(fn=cmd_test)
 
     d = sub.add_parser("detect")
+    d.add_argument("--model_def", type=str, default=None,
+                   help="darknet cfg to build the graph from (e.g. a re-anchored cfg; default: the native 2-class builder)")
     d.add_argument("--image_folder", type=str, default="data/samples")
     d.add_argument("--weights_path", type=str)
     d.add_argument("--class_path", type=str, default="data/custom/classes.names")
@@ -530,6 +546,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_detect)
 
     sv = sub.add_parser("serve")
+    sv.add_argument("--model_def", type=str, default=None,
+                    help="darknet cfg to build the graph from (e.g. a re-anchored cfg; default: the native 2-class builder)")
     sv.add_argument("--host", type=str, default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8498)
     sv.add_argument("--weights_path", type=str)
@@ -598,6 +616,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("sweep")
+    s.add_argument("--model_def", type=str, default=None,
+                   help="darknet cfg to build the graph from (e.g. a re-anchored cfg; default: the native 2-class builder)")
     s.add_argument("--directory", type=str, required=True,
                    help="tiled WSI root (e.g. data/CERAD/1536_tiles/)")
     s.add_argument("--weights_path", type=str)
@@ -661,6 +681,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.set_defaults(fn=cmd_crop)
 
     x = sub.add_parser("export")
+    x.add_argument("--model_def", type=str, default=None,
+                   help="darknet cfg to build the graph from (e.g. a re-anchored cfg; default: the native 2-class builder)")
     x.add_argument("--src", type=str, required=True,
                    help="orbax dir | .pth | darknet .weights")
     x.add_argument("--dst", type=str, required=True)

@@ -71,3 +71,38 @@ def test_num_classes_and_consumers():
     assert any(c > 94 for c in spec.consumers[36])
     # layer 61 consumed by head-2 route
     assert any(82 < c <= 94 for c in spec.consumers[61])
+
+
+def test_custom_anchors_spec_and_cfg_roundtrip(tmp_path):
+    """yolov3_spec(anchors=...) installs the 9-entry custom table under the
+    standard masks (largest triple → stride-32 head) and survives an
+    emit_cfg → from_cfg round trip (the tools/estimate_anchors.py path)."""
+    anchors = [(10, 11), (12, 13), (14, 15), (20, 21), (22, 23), (24, 25),
+               (30, 31), (40, 41), (50, 51)]
+    spec = yolov3_spec(num_classes=2, img_size=512, anchors=anchors)
+    yolos = [spec.layers[i] for i in spec.yolo_indices]
+    assert yolos[0].anchors == ((30, 31), (40, 41), (50, 51))  # stride 32
+    assert yolos[1].anchors == ((20, 21), (22, 23), (24, 25))  # stride 16
+    assert yolos[2].anchors == ((10, 11), (12, 13), (14, 15))  # stride 8
+    assert spec.net.width == 512
+
+    p = tmp_path / "anchored.cfg"
+    p.write_text(emit_cfg(spec))
+    spec2 = from_cfg(str(p))
+    assert [spec2.layers[i].anchors for i in spec2.yolo_indices] == \
+        [l.anchors for l in yolos]
+    assert spec2.net.width == 512
+    # params are anchor-independent: a checkpoint trained under one table
+    # loads under another (the decode, not the weights, changes)
+    assert spec2.out_channels == spec.out_channels
+
+
+def test_default_anchor_table_unchanged():
+    """anchors=None keeps the reference's hardcoded COCO table exactly
+    (config/create_custom_model.sh)."""
+    from amyloid_yolo_tpu.graphspec import YOLOV3_ANCHORS
+
+    spec = yolov3_spec(num_classes=2)
+    yolos = [spec.layers[i] for i in spec.yolo_indices]
+    assert yolos[0].anchors == tuple(YOLOV3_ANCHORS[m] for m in (6, 7, 8))
+    assert yolos[2].anchors == tuple(YOLOV3_ANCHORS[m] for m in (0, 1, 2))

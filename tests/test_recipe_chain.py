@@ -72,3 +72,23 @@ def test_cli_entry_smoke(tmp_path):
         cwd=REPO, capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "[recipe_chain] done" in out.stdout
+
+
+def test_dry_run_model_def_passthrough(tmp_path, capsys):
+    """--model_def reaches BOTH train phases and the study overlay (a
+    re-anchored checkpoint scored under the default COCO table would
+    decode garbage)."""
+    rc = recipe_chain.main([
+        "--tag", "t2", "--dry_run", "--study", "--img_size", "512",
+        "--model_def", "amyloid_yolo_tpu/config/yolov3-amyloid-512a.cfg",
+        "--out_root", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for phase in ("phase 1:", "phase 2:"):
+        line = [l for l in out.splitlines() if phase in l][0]
+        assert "--model_def amyloid_yolo_tpu/config/yolov3-amyloid-512a.cfg" \
+            in line and "--img_size 512" in line
+    st = [l for l in out.splitlines() if "study:" in l][0]
+    assert "--model-def amyloid_yolo_tpu/config/yolov3-amyloid-512a.cfg" in st
+    assert "--model-size 512" in st

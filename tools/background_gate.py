@@ -61,17 +61,18 @@ def consensus_boxes() -> dict:
     return out
 
 
-def detector_boxes(ckpt: str, folder: str) -> dict:
+def detector_boxes(ckpt: str, folder: str, model_def: str = None,
+                   model_size: int = 416) -> dict:
     """conf>=0.8 detections per image from a trained checkpoint (the
     reference operating point, README.md:39)."""
     from amyloid_yolo_tpu.detectors import Detector
-    from amyloid_yolo_tpu.graphspec import yolov3_spec
+    from amyloid_yolo_tpu.graphspec import from_cfg, yolov3_spec
     from amyloid_yolo_tpu.io import weights as W
 
-    spec = yolov3_spec(num_classes=2)
+    spec = from_cfg(model_def) if model_def else yolov3_spec(num_classes=2)
     params = W.load_pretrained(spec, ckpt)
     det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
-                   host_resize=True)
+                   model_size=model_size, host_resize=True)
     results = det.detect_folder(folder, batch_size=16, merge_boxes=True)
     out = {}
     for path, rows in results.items():
@@ -234,6 +235,12 @@ def main() -> int:
                     help="trained orbax/pth checkpoint: gate on conf>=0.8 "
                          "detections (TPU); default gates on the published "
                          "consensus annotations")
+    ap.add_argument("--model_def", type=str, default=None,
+                    help="darknet cfg the checkpoint was trained with "
+                         "(re-anchored checkpoints decode garbage under "
+                         "the default COCO anchor table)")
+    ap.add_argument("--model_size", type=int, default=416,
+                    help="detector input side for the --ckpt gate")
     ap.add_argument("--max_bpp", type=float, default=None)
     ap.add_argument("--min_tissue", type=float, default=None)
     ap.add_argument("--out", type=str, default="background_gate")
@@ -248,7 +255,9 @@ def main() -> int:
 
     os.makedirs(args.out, exist_ok=True)
     if args.ckpt:
-        boxes = detector_boxes(args.ckpt, REF_IMAGES)
+        boxes = detector_boxes(args.ckpt, REF_IMAGES,
+                               model_def=args.model_def,
+                               model_size=args.model_size)
         source = f"detector conf>=0.8 ({args.ckpt})"
     else:
         boxes = consensus_boxes()
