@@ -242,6 +242,11 @@ def cmd_serve(args) -> int:
                    nms_thres=args.nms_thres, model_size=args.img_size,
                    host_resize=_truthy(args.host_resize),
                    **_fast_path_kwargs(args), **_capacity_kwargs(args))
+    if getattr(args, "calibration", None):
+        # persisted scales BEFORE the socket opens: the server starts
+        # int8-calibrated with no --calibration_folder and no 48-tile
+        # pass, and no early request can race an uncalibrated detector
+        det.load_calibration(args.calibration)
     caa_filter = None
     if _truthy(args.filter_CAA_detections_by_model):
         caa_filter = CAAFilter(model_pickle=args.caa_model_pickle,
@@ -261,10 +266,6 @@ def cmd_serve(args) -> int:
     print(f"serving on http://{args.host}:{server.port} "
           f"(batch {server.executor.batch_size}, precision {det.precision})",
           flush=True)
-    if getattr(args, "calibration", None):
-        # persisted scales: the server starts int8-compiled with no
-        # calibration folder and no 48-tile pass (r4 verdict weak #5)
-        det.load_calibration(args.calibration)
     if _truthy(args.warmup):
         if (det.precision.startswith("int8") and args.calibration_folder
                 and det._act_scales is None):

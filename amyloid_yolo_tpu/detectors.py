@@ -450,6 +450,7 @@ class Detector:
                     "scales remain valid but were measured on a different "
                     "input geometry", UserWarning, stacklevel=2)
         self._act_scales = {k: float(v) for k, v in d["scales"].items()}
+        self._calib_meta = {**d.get("meta", {}), "loaded_from": path}
         if rebuild:
             self._fn = self._build()
         else:

@@ -497,6 +497,11 @@ class DetectionServer:
             # images whose conf-passing candidates exceeded the fixed NMS
             # pool (detections truncated vs the uncapped reference loop)
             "nms_pool_overflows": self.detector.overflow_images,
+            # int8 calibration provenance (sidecar meta / folder hash) so
+            # ops can tell WHICH gated scales a server is running
+            "calibration": (getattr(self.detector, "_calib_meta", None)
+                            if self.detector.precision.startswith("int8")
+                            else None),
         }
 
     def _make_handler(self):

@@ -79,6 +79,8 @@ def test_calibration_sidecar_roundtrip(tmp_path):
     det2 = _make("int8_full")
     got_scales = det2.load_calibration(path)
     assert got_scales == pytest.approx(want_scales)
+    assert det2._calib_meta["note"] == "unit"       # provenance adopted
+    assert det2._calib_meta["loaded_from"] == path  # (serve /stats shows it)
     got_dets, got_valid = det2(tiles)
     np.testing.assert_array_equal(np.asarray(got_valid),
                                   np.asarray(want_valid))

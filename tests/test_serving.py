@@ -69,6 +69,7 @@ def server():
 
 
 def test_healthz_and_stats(server):
+    assert server._stats()["calibration"] is None  # non-int8: no scales
     code, out = _get(f"http://127.0.0.1:{server.port}/healthz")
     assert code == 200 and out["status"] == "ok" and out["compiled"]
     code, out = _get(f"http://127.0.0.1:{server.port}/stats")

@@ -113,6 +113,10 @@ def map_at(preds: dict, consensus: dict, out_dir: str, tag: str) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--model-def", default=None,
+                    help="darknet cfg the checkpoint was trained with "
+                         "(required for re-anchored checkpoints)")
+    ap.add_argument("--model-size", type=int, default=416)
     ap.add_argument("--out", default="fastpath_gate")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--skip-timing", action="store_true")
@@ -128,11 +132,12 @@ def main() -> int:
         run_model_on_validation_images,
     )
     from amyloid_yolo_tpu.detectors import Detector
-    from amyloid_yolo_tpu.graphspec import yolov3_spec
+    from amyloid_yolo_tpu.graphspec import from_cfg, yolov3_spec
     from amyloid_yolo_tpu.io import weights as W
 
     os.makedirs(args.out, exist_ok=True)
-    spec = yolov3_spec(num_classes=2)
+    spec = (from_cfg(args.model_def) if args.model_def
+            else yolov3_spec(num_classes=2))
     params = W.load_ckpt_params(args.ckpt)  # accepts <dir>#ema
     with open(CONSENSUS, "rb") as fh:
         consensus = pickle.load(fh)
@@ -141,7 +146,7 @@ def main() -> int:
     all_preds = {}
     for tag, kw in VARIANTS:
         det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
-                       host_resize=True, **kw)
+                       model_size=args.model_size, host_resize=True, **kw)
         t0 = time.time()
         preds = run_model_on_validation_images(
             det, IMAGES, os.path.join(args.out, f"preds_{tag}.pkl"),
@@ -161,8 +166,9 @@ def main() -> int:
         from bench import measure
 
         rng = np.random.RandomState(0)
-        small = jax.device_put(
-            rng.randint(0, 255, (16, 416, 416, 3)).astype(np.uint8))
+        small = jax.device_put(rng.randint(
+            0, 255, (16, args.model_size, args.model_size, 3)
+        ).astype(np.uint8))
         timing = {}
         for tag, kw in VARIANTS + [
                 ("int8ds32_exact", {"precision": "int8_early",
@@ -171,7 +177,8 @@ def main() -> int:
                                    "int8_downsample": 32,
                                    "lazy_decode": True})]:
             det = Detector(spec, params, conf_thres=0.8, nms_thres=0.4,
-                           host_resize=True, **kw)
+                           model_size=args.model_size, host_resize=True,
+                           **kw)
             if det.precision.startswith("int8"):
                 det.calibrate(np.asarray(small))
             ms = measure(det, small) * 1e3
